@@ -1,0 +1,443 @@
+"""The declarative check suite: checks → per-partition verdicts + violations.
+
+This is the Spark-native recast of the reference's detection cascade
+(/root/reference/detect_anomalies.py:82-122): instead of imperative per-item
+loops writing to Postgres, each check is a declarative DataFrame plan over the
+sequence table, producing
+
+- ``verdicts``:   one row per (partition_id, check_id) —
+  ``(partition_id, check_id, passed, observed, expected, threshold,
+  n_violations, rows_scanned)``
+- ``violations``: one row per violating document —
+  ``(partition_id, check_id, doc_id, observed, expected)``
+
+mirroring the reference's ``anomalies`` verdict table
+(/root/reference/db/sql/postgresql/create_table_anomalies.sql.j2) and per-item
+filter survivors.
+
+Check kinds and their reference lineage:
+
+- ``column_stats``     — per-partition sufficient stats of a numeric column
+  (stats.py:75-79, 130-135) with min-count gating (detector.py:192
+  ``cnt > trends_min_count``).
+- ``zscore_threshold`` — detect1 semantics (detector.py:211): partition mean
+  deviates from baseline mean by more than λ·σ, guarded by the relative-diff
+  filter (detector.py:218 — the reference has an operator-precedence bug
+  there: ``mean_t > 0 & (...)`` binds as ``mean_t > (0 & (...))``; we
+  implement the *intended* semantics ``mean_t > 0 AND reldiff > rate`` and
+  pin that choice in tests).
+- ``unique``           — doc_id uniqueness via two-phase salted aggregation
+  (skew-proof groupBy; exact duplicate emission).
+- ``referential``      — membership of ``source`` in an allowed dimension
+  (models/anomalies.py:94-104 anti-join discipline).
+- ``n_tok_consistency``— metadata invariant ``n_tok == size(tokens)``.
+- ``token_invariant``  — token-array byte-equality against a trusted snapshot:
+  xxhash64+length prefilter, exact array compare on candidates.
+- ``drift_psi`` / ``drift_ks`` — distribution drift vs pinned baseline
+  (recasting detect2/3's recent-vs-historical comparisons; see drift.py).
+
+Scale posture: every check is a groupBy/join plan whose shuffled data is
+O(#partitions) or O(#violations), never O(rows) beyond the initial scan; the
+uniqueness check pre-aggregates behind a salt to keep hot keys off one reducer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from pyanomalydetector_spark.functions.stats import sufficient_stats, finalize_mean_std
+from pyanomalydetector_spark.checks.drift import psi_by_partition, ks_by_partition
+
+VERDICT_SCHEMA = StructType([
+    StructField("partition_id", StringType()),
+    StructField("check_id", StringType()),
+    StructField("passed", BooleanType()),
+    StructField("observed", DoubleType()),
+    StructField("expected", DoubleType()),
+    StructField("threshold", DoubleType()),
+    StructField("n_violations", LongType()),
+    StructField("rows_scanned", LongType()),
+])
+VIOLATION_SCHEMA = StructType([
+    StructField("partition_id", StringType()),
+    StructField("check_id", StringType()),
+    StructField("doc_id", StringType()),
+    StructField("observed", StringType()),
+    StructField("expected", StringType()),
+])
+
+
+@dataclass(frozen=True)
+class Check:
+    check_id: str
+    kind: str
+    params: dict = field(default_factory=dict)
+
+
+@dataclass
+class CheckResult:
+    verdicts: DataFrame
+    violations: DataFrame
+
+
+def _empty(spark: SparkSession, schema: StructType) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def _rows_per_partition(df: DataFrame, pcol: str) -> DataFrame:
+    return df.groupBy(F.col(pcol).alias("partition_id")) \
+             .agg(F.count(F.lit(1)).alias("rows_scanned"))
+
+
+def _finish_verdicts(v: DataFrame) -> DataFrame:
+    """Project to the uniform verdict schema (column order + types)."""
+    return v.select(
+        F.col("partition_id").cast("string"),
+        F.col("check_id").cast("string"),
+        F.col("passed").cast("boolean"),
+        F.col("observed").cast("double"),
+        F.col("expected").cast("double"),
+        F.col("threshold").cast("double"),
+        F.col("n_violations").cast("long"),
+        F.col("rows_scanned").cast("long"),
+    )
+
+
+def _finish_violations(v: DataFrame) -> DataFrame:
+    return v.select(
+        F.col("partition_id").cast("string"),
+        F.col("check_id").cast("string"),
+        F.col("doc_id").cast("string"),
+        F.col("observed").cast("string"),
+        F.col("expected").cast("string"),
+    )
+
+
+# ---------------------------------------------------------------- checks ----
+
+def _check_column_stats(df: DataFrame, check: Check, pcol: str) -> CheckResult:
+    value_col = check.params.get("value_col", "n_tok")
+    min_count = int(check.params.get("min_count", 1))
+
+    stats = finalize_mean_std(sufficient_stats(df, [pcol], value_col)) \
+        .withColumnRenamed(pcol, "partition_id")
+    verdicts = stats.select(
+        "partition_id",
+        F.lit(check.check_id).alias("check_id"),
+        (F.col("cnt") >= min_count).alias("passed"),
+        F.col("cnt").cast("double").alias("observed"),
+        F.lit(float(min_count)).alias("expected"),
+        F.lit(float(min_count)).alias("threshold"),
+        F.lit(0).alias("n_violations"),
+        F.col("cnt").alias("rows_scanned"),
+    )
+    return CheckResult(_finish_verdicts(verdicts),
+                       _empty(df.sparkSession, VIOLATION_SCHEMA))
+
+
+def _check_zscore_threshold(df: DataFrame, check: Check, pcol: str) -> CheckResult:
+    """detect1: partition mean vs pinned baseline mean/std with λ·σ + rel-diff.
+
+    Row-level violations replicate _filter_anomalies (detector.py:382-404):
+    within failing partitions, rows whose value exceeds baseline mean ± λ·σ.
+    """
+    value_col = check.params.get("value_col", "n_tok")
+    lam = float(check.params.get("lambda", 2.0))
+    ignore_diff_rate = float(check.params.get("ignore_diff_rate", 0.0))
+    baseline = check.params.get("baseline")  # optional DataFrame(mean, std)
+
+    if baseline is None:
+        baseline = finalize_mean_std(
+            sufficient_stats(df.select(F.lit("all").alias("_g"), value_col),
+                             ["_g"], value_col)).select("mean", "std")
+    base = F.broadcast(baseline.select(F.col("mean").alias("mean_t"),
+                                       F.col("std").alias("std_t")))
+
+    part_means = finalize_mean_std(sufficient_stats(df, [pcol], value_col)) \
+        .select(F.col(pcol).alias("partition_id"),
+                F.col("mean").alias("mean_h"),
+                F.col("cnt").alias("rows_scanned"))
+
+    j = part_means.crossJoin(base)
+    dev = F.abs(F.col("mean_h") - F.col("mean_t"))
+    # detector.py:211 threshold; detector.py:218 *intended* rel-diff guard.
+    # try_divide keeps this ANSI-safe when mean_t == 0 (NULL → fail is false).
+    fail = (dev > lam * F.col("std_t")) & \
+           (F.col("mean_t") > 0) & \
+           (F.try_divide(dev, F.col("mean_t")) > ignore_diff_rate)
+    verdicts = j.select(
+        "partition_id",
+        F.lit(check.check_id).alias("check_id"),
+        (~fail).alias("passed"),
+        F.col("mean_h").alias("observed"),
+        F.col("mean_t").alias("expected"),
+        (lam * F.col("std_t")).alias("threshold"),
+        F.lit(0).alias("n_violations"),
+        F.col("rows_scanned"),
+    )
+
+    failing = j.filter(fail).select("partition_id", "mean_t", "std_t")
+    viol = (
+        df.join(F.broadcast(failing), df[pcol] == failing["partition_id"])
+          .filter(F.abs(F.col(value_col) - F.col("mean_t")) > lam * F.col("std_t"))
+          .select(
+              F.col("partition_id"),
+              F.lit(check.check_id).alias("check_id"),
+              F.col("doc_id"),
+              F.col(value_col).cast("string").alias("observed"),
+              F.concat(F.lit("within "), F.round("mean_t", 6).cast("string"),
+                       F.lit(" ± "), F.round(lam * F.col("std_t"), 6).cast("string"))
+               .alias("expected"),
+          )
+    )
+    return CheckResult(_finish_verdicts(verdicts), _finish_violations(viol))
+
+
+def _check_unique(df: DataFrame, check: Check, pcol: str) -> CheckResult:
+    """doc_id uniqueness via two-phase salted aggregation.
+
+    Phase 1 pre-aggregates on (key, salt) so a pathologically hot duplicate key
+    is spread over ``salt_buckets`` reducers (north-rule skew mandate); phase 2
+    sums the small partials. Violations carry the exact duplicate count.
+    """
+    key = check.params.get("key", "doc_id")
+    salt_buckets = int(check.params.get("salt_buckets", 8))
+
+    salted = df.select(
+        F.col(pcol).alias("partition_id"), F.col(key),
+        F.pmod(F.xxhash64(F.col(key), F.col("n_tok"),
+                          F.monotonically_increasing_id()),
+               F.lit(salt_buckets)).alias("_salt"),
+    )
+    partial = salted.groupBy("partition_id", key, "_salt") \
+                    .agg(F.count(F.lit(1)).alias("c"))
+    counts = partial.groupBy("partition_id", key).agg(F.sum("c").alias("cnt"))
+
+    dups = counts.filter(F.col("cnt") > 1)
+    per_part = counts.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+        F.sum("cnt").alias("rows_scanned"),
+    )
+    verdicts = per_part.select(
+        "partition_id",
+        F.lit(check.check_id).alias("check_id"),
+        (F.col("n_dup_keys") == 0).alias("passed"),
+        F.col("n_dup_keys").cast("double").alias("observed"),
+        F.lit(0.0).alias("expected"),
+        F.lit(0.0).alias("threshold"),
+        F.col("n_dup_keys").alias("n_violations"),
+        F.col("rows_scanned"),
+    )
+    viol = dups.select(
+        "partition_id",
+        F.lit(check.check_id).alias("check_id"),
+        F.col(key).alias("doc_id"),
+        F.col("cnt").cast("string").alias("observed"),
+        F.lit("1").alias("expected"),
+    )
+    return CheckResult(_finish_verdicts(verdicts), _finish_violations(viol))
+
+
+def _check_referential(df: DataFrame, check: Check, pcol: str) -> CheckResult:
+    """source ∈ allowed-dimension membership (broadcast anti-join)."""
+    column = check.params.get("column", "source")
+    allowed = check.params.get("allowed")
+    spark = df.sparkSession
+    if isinstance(allowed, (list, tuple, set)):
+        dim = spark.createDataFrame([(a,) for a in sorted(allowed)], f"{column} string")
+    else:
+        dim = allowed  # a DataFrame with one column named ``column``
+
+    viol_rows = df.join(F.broadcast(dim), on=column, how="left_anti")
+    per_part = df.groupBy(F.col(pcol).alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("rows_scanned"))
+    bad_per_part = viol_rows.groupBy(F.col(pcol).alias("partition_id")) \
+                            .agg(F.count(F.lit(1)).alias("n_bad"))
+    verdicts = per_part.join(bad_per_part, "partition_id", "left") \
+        .na.fill({"n_bad": 0}) \
+        .select(
+            "partition_id",
+            F.lit(check.check_id).alias("check_id"),
+            (F.col("n_bad") == 0).alias("passed"),
+            F.col("n_bad").cast("double").alias("observed"),
+            F.lit(0.0).alias("expected"),
+            F.lit(0.0).alias("threshold"),
+            F.col("n_bad").alias("n_violations"),
+            F.col("rows_scanned"),
+        )
+    viol = viol_rows.select(
+        F.col(pcol).alias("partition_id"),
+        F.lit(check.check_id).alias("check_id"),
+        F.col("doc_id"),
+        F.col(column).cast("string").alias("observed"),
+        F.lit("member of allowed source set").alias("expected"),
+    )
+    return CheckResult(_finish_verdicts(verdicts), _finish_violations(viol))
+
+
+def _check_n_tok_consistency(df: DataFrame, check: Check, pcol: str) -> CheckResult:
+    """Metadata invariant: declared n_tok equals size(tokens)."""
+    bad = F.col("n_tok") != F.size("tokens")
+    per_part = df.groupBy(F.col(pcol).alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_bad"),
+    )
+    verdicts = per_part.select(
+        "partition_id",
+        F.lit(check.check_id).alias("check_id"),
+        (F.col("n_bad") == 0).alias("passed"),
+        F.col("n_bad").cast("double").alias("observed"),
+        F.lit(0.0).alias("expected"),
+        F.lit(0.0).alias("threshold"),
+        F.col("n_bad").alias("n_violations"),
+        F.col("rows_scanned"),
+    )
+    viol = df.filter(bad).select(
+        F.col(pcol).alias("partition_id"),
+        F.lit(check.check_id).alias("check_id"),
+        F.col("doc_id"),
+        F.col("n_tok").cast("string").alias("observed"),
+        F.size("tokens").cast("string").alias("expected"),
+    )
+    return CheckResult(_finish_verdicts(verdicts), _finish_violations(viol))
+
+
+def _check_token_invariant(df: DataFrame, check: Check, pcol: str) -> CheckResult:
+    """Token-array byte-equality vs a trusted snapshot DataFrame.
+
+    Join on doc_id; candidates flagged by (xxhash64(tokens), size) mismatch,
+    then confirmed with exact array equality — the cheap-hash-then-exact
+    discipline keeps the comparison JVM-side and shuffle-light.
+    """
+    expected_df: DataFrame = check.params["expected"]
+    exp = expected_df.select(
+        F.col("doc_id"),
+        F.xxhash64("tokens").alias("_exp_hash"),
+        F.size("tokens").alias("_exp_len"),
+        F.col("tokens").alias("_exp_tokens"),
+    ).dropDuplicates(["doc_id"])
+
+    j = df.select(pcol, "doc_id", "tokens").dropDuplicates(["doc_id"]) \
+          .join(exp, "doc_id", "left")
+    mismatch = (
+        F.col("_exp_hash").isNull()
+        | (F.xxhash64("tokens") != F.col("_exp_hash"))
+        | (F.size("tokens") != F.col("_exp_len"))
+    )
+    # exact confirm only on hash-mismatch candidates
+    confirmed_bad = mismatch & (
+        F.col("_exp_tokens").isNull() | (F.col("tokens") != F.col("_exp_tokens"))
+    )
+    flagged = j.withColumn("_bad", confirmed_bad)
+    per_part = flagged.groupBy(F.col(pcol).alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.when(F.col("_bad"), 1).otherwise(0)).alias("n_bad"),
+    )
+    verdicts = per_part.select(
+        "partition_id",
+        F.lit(check.check_id).alias("check_id"),
+        (F.col("n_bad") == 0).alias("passed"),
+        F.col("n_bad").cast("double").alias("observed"),
+        F.lit(0.0).alias("expected"),
+        F.lit(0.0).alias("threshold"),
+        F.col("n_bad").alias("n_violations"),
+        F.col("rows_scanned"),
+    )
+    viol = flagged.filter(F.col("_bad")).select(
+        F.col(pcol).alias("partition_id"),
+        F.lit(check.check_id).alias("check_id"),
+        F.col("doc_id"),
+        F.xxhash64("tokens").cast("string").alias("observed"),
+        F.coalesce(F.col("_exp_hash").cast("string"), F.lit("<absent>"))
+         .alias("expected"),
+    )
+    return CheckResult(_finish_verdicts(verdicts), _finish_violations(viol))
+
+
+def _check_drift(df: DataFrame, check: Check, pcol: str, stat: str) -> CheckResult:
+    value_col = check.params.get("value_col", "n_tok")
+    threshold = float(check.params.get("threshold", 0.2))
+    baseline = check.params.get("baseline")  # optional raw DataFrame
+
+    if stat == "psi":
+        scored = psi_by_partition(df, pcol, value_col,
+                                  n_buckets=int(check.params.get("buckets", 10)),
+                                  baseline=baseline)
+        obs = "psi"
+    else:
+        scored = ks_by_partition(df, pcol, value_col, baseline=baseline)
+        obs = "ks_d"
+
+    rows = _rows_per_partition(df, pcol)
+    verdicts = scored.join(rows, "partition_id").select(
+        "partition_id",
+        F.lit(check.check_id).alias("check_id"),
+        (F.col(obs) <= threshold).alias("passed"),
+        F.col(obs).alias("observed"),
+        F.lit(threshold).alias("expected"),
+        F.lit(threshold).alias("threshold"),
+        F.lit(0).alias("n_violations"),
+        F.col("rows_scanned"),
+    )
+    return CheckResult(_finish_verdicts(verdicts),
+                       _empty(df.sparkSession, VIOLATION_SCHEMA))
+
+
+_DISPATCH = {
+    "column_stats": _check_column_stats,
+    "zscore_threshold": _check_zscore_threshold,
+    "unique": _check_unique,
+    "referential": _check_referential,
+    "n_tok_consistency": _check_n_tok_consistency,
+    "token_invariant": _check_token_invariant,
+    "drift_psi": lambda df, c, p: _check_drift(df, c, p, "psi"),
+    "drift_ks": lambda df, c, p: _check_drift(df, c, p, "ks"),
+}
+
+
+def run_checks(df: DataFrame, checks: Iterable[Check],
+               partition_col: str = "source") -> CheckResult:
+    """Run a suite of checks; union the per-check verdict/violation frames.
+
+    The input is persisted for the duration of the suite (every check scans
+    it) — the reference's equivalent was its materialized ``history`` cache
+    table (/root/reference/data_processing/detector.py:112-146).
+    """
+    spark = df.sparkSession
+    df = df.persist()
+    verdicts = _empty(spark, VERDICT_SCHEMA)
+    violations = _empty(spark, VIOLATION_SCHEMA)
+    for check in checks:
+        fn = _DISPATCH.get(check.kind)
+        if fn is None:
+            raise ValueError(f"unknown check kind {check.kind!r}")
+        res = fn(df, check, partition_col)
+        verdicts = verdicts.unionByName(res.verdicts)
+        violations = violations.unionByName(res.violations)
+    return CheckResult(verdicts, violations)
+
+
+def default_suite(allowed_sources: Iterable[str]) -> list[Check]:
+    """The standard suite over the sequence table (north-rule check kinds)."""
+    return [
+        Check("column_stats_n_tok", "column_stats",
+              {"value_col": "n_tok", "min_count": 1}),
+        Check("zscore_n_tok", "zscore_threshold",
+              {"value_col": "n_tok", "lambda": 2.0, "ignore_diff_rate": 0.1}),
+        Check("unique_doc_id", "unique", {"key": "doc_id"}),
+        Check("referential_source", "referential",
+              {"column": "source", "allowed": list(allowed_sources)}),
+        Check("n_tok_consistency", "n_tok_consistency", {}),
+        Check("drift_psi_n_tok", "drift_psi",
+              {"value_col": "n_tok", "buckets": 10, "threshold": 0.25}),
+        Check("drift_ks_n_tok", "drift_ks",
+              {"value_col": "n_tok", "threshold": 0.35}),
+    ]

@@ -1,0 +1,125 @@
+"""Distribution-drift scoring: PSI and two-sample KS per partition.
+
+Recasts the reference's detect2/detect3 "recent distribution vs historical
+distribution" semantics (/root/reference/data_processing/detector.py:286-337,
+382-432: envelope z-exceedance counts and diff-stats comparisons) as two
+standard drift statistics of the per-partition ``n_tok`` distribution against a
+pinned baseline (the whole-table distribution, or a supplied histogram).
+
+Everything is expressed as DataFrame aggregations + window cumulative sums —
+no UDFs, fully whole-stage-codegen, one shuffle per statistic. The grid sizes
+are #distinct-values × #partitions (tiny relative to row count), so this scales
+to arbitrarily many input rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PSI_SMOOTH = 0.5  # Laplace smoothing added to every bucket count
+
+
+def psi_by_partition(df: DataFrame, partition_col: str, value_col: str,
+                     n_buckets: int = 10,
+                     baseline: DataFrame | None = None) -> DataFrame:
+    """Population Stability Index of ``value_col`` per partition vs baseline.
+
+    Fixed-width buckets over the baseline's [min, max]; counts smoothed with
+    ``PSI_SMOOTH`` so empty buckets don't blow up the log. Returns
+    ``(partition_id, psi)``.
+    """
+    base = baseline if baseline is not None else df
+    v = F.col(value_col).cast("double")
+
+    bounds = base.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+    # tiny 1-row frame → broadcast join onto both sides
+    b = F.broadcast(bounds)
+
+    def bucketize(frame: DataFrame) -> DataFrame:
+        width = (F.col("hi") - F.col("lo")) / F.lit(n_buckets)
+        raw = F.floor((F.col(value_col).cast("double") - F.col("lo")) / width)
+        bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+        return frame.crossJoin(b).withColumn(
+            "bucket",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(bucket),
+        )
+
+    # full bucket grid per partition so zero-count buckets still get smoothing
+    parts = df.select(F.col(partition_col).alias("partition_id")).distinct()
+    grid = parts.crossJoin(
+        df.sparkSession.range(n_buckets).select(F.col("id").alias("bucket")))
+
+    part_counts = (
+        bucketize(df)
+        .groupBy(F.col(partition_col).alias("partition_id"), "bucket")
+        .agg(F.count(F.lit(1)).alias("c_p"))
+    )
+    base_counts = (
+        bucketize(base)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+    )
+
+    base_total = base.agg(F.count(F.lit(1)).cast("double").alias("n_base"))
+
+    joined = (
+        grid.join(part_counts, ["partition_id", "bucket"], "left")
+            .join(F.broadcast(base_counts), ["bucket"], "left")
+            .crossJoin(F.broadcast(base_total))
+            .na.fill({"c_p": 0, "c_b": 0})
+    )
+
+    w_p = Window.partitionBy("partition_id")
+    p = (F.col("c_p") + F.lit(PSI_SMOOTH)) / \
+        (F.sum("c_p").over(w_p) + F.lit(PSI_SMOOTH * n_buckets))
+    q = (F.col("c_b") + F.lit(PSI_SMOOTH)) / \
+        (F.col("n_base") + F.lit(PSI_SMOOTH * n_buckets))
+
+    term = (p - q) * F.log(p / q)
+    return (
+        joined.withColumn("term", term)
+              .groupBy("partition_id")
+              .agg(F.sum("term").alias("psi"))
+    )
+
+
+def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
+                    baseline: DataFrame | None = None) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D per partition vs baseline.
+
+    D = max over the combined support of |CDF_partition − CDF_baseline|.
+    Computed on the (partition × distinct-value) grid with window cumulative
+    sums — distributed, no collect. Returns ``(partition_id, ks_d)``.
+    """
+    base = baseline if baseline is not None else df
+    v = F.col(value_col).cast("double").alias("v")
+
+    values = base.select(v).union(df.select(v)).distinct()
+    parts = df.select(F.col(partition_col).alias("partition_id")).distinct()
+    grid = parts.crossJoin(values)
+
+    part_counts = (
+        df.select(F.col(partition_col).alias("partition_id"), v)
+          .groupBy("partition_id", "v").agg(F.count(F.lit(1)).alias("c_p"))
+    )
+    base_counts = base.select(v).groupBy("v").agg(F.count(F.lit(1)).alias("c_b"))
+
+    joined = (
+        grid.join(part_counts, ["partition_id", "v"], "left")
+            .join(F.broadcast(base_counts), ["v"], "left")
+            .na.fill({"c_p": 0, "c_b": 0})
+    )
+
+    w_cum = Window.partitionBy("partition_id").orderBy("v") \
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_tot = Window.partitionBy("partition_id")
+
+    cdf_p = F.sum("c_p").over(w_cum) / F.sum("c_p").over(w_tot)
+    cdf_b = F.sum("c_b").over(w_cum) / F.sum("c_b").over(w_tot)
+
+    return (
+        joined.withColumn("d", F.abs(cdf_p - cdf_b))
+              .groupBy("partition_id")
+              .agg(F.max("d").alias("ks_d"))
+    )

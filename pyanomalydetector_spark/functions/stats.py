@@ -1,0 +1,164 @@
+"""Mergeable sufficient statistics — the reference's core aggregate.
+
+Reference semantics (/root/reference/data_processing/stats.py):
+- partial aggregate per key: ``sum, sqr_sum=Σx², cnt``   (stats.py:75-79)
+- merge (window advance): add new partials                (stats.py:88-98)
+- retract (window slide): subtract expired partials       (stats.py:107-124)
+- finalize: ``mean = sum/cnt``;
+  ``std = sqrt((sqr_sum − sum²/cnt) / (cnt−1))``  — Bessel-corrected to match
+  pandas ``std()``, then inf/NaN scrubbed to 0               (stats.py:130-135)
+
+Spark-native realization: one hash aggregate (map-side partial + final — Spark
+does the two-phase combine the reference hand-rolls with ``batch_size`` loops),
+all arithmetic JVM-side in whole-stage codegen. A Welford/Chan ``applyInPandas``
+variant is provided because the north-star mandates a vectorized Arrow UDAF
+path; both are tested equal.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def sufficient_stats(df: DataFrame, keys: Sequence[str], value_col: str = "value") -> DataFrame:
+    """groupBy(keys).agg(sum, sqr_sum, cnt) — partial sufficient statistics.
+
+    Reference: stats.py:75-79 (pandas groupby + custom ``square_sum`` agg,
+    utils/__init__.py:22-23). Spark's hash aggregate does map-side combine, so
+    this is shuffle-light: only (keys, 3 doubles) cross the wire.
+    """
+    v = F.col(value_col).cast("double")
+    return df.groupBy(*keys).agg(
+        F.sum(v).alias("sum"),
+        F.sum(v * v).alias("sqr_sum"),
+        F.count(v).alias("cnt"),
+    )
+
+
+def _scrubbed(col: Column) -> Column:
+    """Replicate the reference's inf/NaN→0 scrub (stats.py:133-135).
+
+    Also maps NULL→0 so the formulas are safe under ANSI mode (Spark 4
+    default), where ``try_divide`` yields NULL instead of raising.
+    """
+    return F.when(col.isNull() | F.isnan(col)
+                  | col.isin(float("inf"), float("-inf")), F.lit(0.0)) \
+            .otherwise(col)
+
+
+def finalize_mean_std(stats: DataFrame) -> DataFrame:
+    """Derive mean/std from sufficient stats with exact reference semantics.
+
+    stats.py:129-135: drop cnt<=0 rows; mean = sum/cnt; Bessel std; std that
+    comes out inf/NaN (cnt==1 → division by zero; negative radicand from float
+    cancellation → NaN) becomes 0. Written with ``try_divide`` + ``when``
+    guards so the same values come out whether or not ANSI mode is enabled.
+    """
+    stats = stats.filter(F.col("cnt") > 0)
+    mean = F.try_divide(F.col("sum"), F.col("cnt").cast("double"))
+    var = F.try_divide(
+        F.col("sqr_sum") - F.try_divide(F.col("sum") * F.col("sum"),
+                                        F.col("cnt").cast("double")),
+        (F.col("cnt") - 1).cast("double"))
+    std = F.when(F.col("cnt") > 1, F.sqrt(var)).otherwise(F.lit(0.0))
+    return (
+        stats.withColumn("mean", _scrubbed(mean))
+             .withColumn("std", _scrubbed(std))
+    )
+
+
+def merge_stats(state: DataFrame, new: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Add new partial aggregates into persisted state (window advance).
+
+    Reference: stats.py:88-98 — inner merge + add, but keys absent from state
+    must still be kept (the reference handles them via its existing/nonexisting
+    key split, models/model.py:49-65); a full-outer join + coalesce folds both
+    paths into one distributed op. At production scale this is the MERGE INTO
+    against the Iceberg checkpoint table.
+    """
+    keys = list(keys)
+    n = new.select(*keys,
+                   F.col("sum").alias("_sum_new"),
+                   F.col("sqr_sum").alias("_sqr_new"),
+                   F.col("cnt").alias("_cnt_new"))
+    joined = state.select(*keys, "sum", "sqr_sum", "cnt") \
+                  .join(n, on=keys, how="full_outer")
+    z = F.lit(0.0)
+    return joined.select(
+        *keys,
+        (F.coalesce("sum", z) + F.coalesce("_sum_new", z)).alias("sum"),
+        (F.coalesce("sqr_sum", z) + F.coalesce("_sqr_new", z)).alias("sqr_sum"),
+        (F.coalesce(F.col("cnt").cast("long"), F.lit(0)) +
+         F.coalesce(F.col("_cnt_new").cast("long"), F.lit(0))).alias("cnt"),
+    )
+
+
+def retract_stats(state: DataFrame, expired: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Subtract expired partial aggregates (window slide / retraction).
+
+    Reference: stats.py:107-124 — outer merge, fillna(0), subtract. Spark has
+    no built-in aggregate retraction; this join-and-subtract is the distributed
+    equivalent, idempotent when driven by the checkpoint's watermark.
+    """
+    keys = list(keys)
+    e = expired.select(*keys,
+                       F.col("sum").alias("_sum_old"),
+                       F.col("sqr_sum").alias("_sqr_old"),
+                       F.col("cnt").alias("_cnt_old"))
+    joined = state.select(*keys, "sum", "sqr_sum", "cnt") \
+                  .join(e, on=keys, how="full_outer")
+    z = F.lit(0.0)
+    return joined.select(
+        *keys,
+        (F.coalesce("sum", z) - F.coalesce("_sum_old", z)).alias("sum"),
+        (F.coalesce("sqr_sum", z) - F.coalesce("_sqr_old", z)).alias("sqr_sum"),
+        (F.coalesce(F.col("cnt").cast("long"), F.lit(0)) -
+         F.coalesce(F.col("_cnt_old").cast("long"), F.lit(0))).alias("cnt"),
+    )
+
+
+def welford_stats(df: DataFrame, keys: Sequence[str], value_col: str = "value") -> DataFrame:
+    """Welford/Chan streaming stats as a vectorized Arrow UDAF (applyInPandas).
+
+    North-star-mandated alternative path: numerically stabler than the naive
+    sqr_sum formula for huge counts (catastrophic cancellation when
+    std << mean). Per-group state is O(1); Arrow batches keep it vectorized —
+    no per-row Python. Produces the same (sum, sqr_sum, cnt, mean, std) contract
+    as :func:`finalize_mean_std` (with the same inf/NaN→0 scrub).
+    """
+    keys = list(keys)
+    schema_fields = ", ".join(
+        f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    out_schema = StructType.fromDDL(
+        f"{schema_fields}, sum double, sqr_sum double, cnt long, mean double, std double"
+    )
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        x = pdf[value_col].astype("float64").to_numpy()
+        x = x[~np.isnan(x)]
+        n = int(x.size)
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        if n == 0:
+            return pd.DataFrame({**row, "sum": [0.0], "sqr_sum": [0.0],
+                                 "cnt": [0], "mean": [0.0], "std": [0.0]})
+        # Chan one-pass within the Arrow batch (vectorized):
+        mean = float(x.mean())
+        m2 = float(((x - mean) ** 2).sum())
+        std = float(np.sqrt(m2 / (n - 1))) if n > 1 else 0.0
+        if not np.isfinite(std):
+            std = 0.0
+        return pd.DataFrame({**row,
+                             "sum": [float(x.sum())],
+                             "sqr_sum": [float((x * x).sum())],
+                             "cnt": [n],
+                             "mean": [mean if np.isfinite(mean) else 0.0],
+                             "std": [std]})
+
+    return df.select(*keys, value_col).groupBy(*keys).applyInPandas(agg, out_schema)

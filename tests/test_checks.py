@@ -1,0 +1,105 @@
+"""Check-suite engine: verdicts + violations on the synthesized sequence table.
+
+The fixture defects are injected deterministically (sources/sequences.py), so
+expected violation sets are derivable independently — the reference's
+golden-verdict test pattern (tests/test_detector_all.py:20-53).
+"""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pyanomalydetector_spark.sources.sequences import (
+    synthesize_sequences, load_sequences,
+    DUP_MOD, BAD_SOURCE_MOD, BAD_NTOK_MOD, BAD_SOURCE,
+)
+from pyanomalydetector_spark.checks.core import Check, run_checks, default_suite
+
+
+@pytest.fixture(scope="module")
+def seq(spark, sf_dir):
+    return load_sequences(spark, sf_dir).persist()
+
+
+@pytest.fixture(scope="module")
+def doc_ids(sf_dir):
+    path = synthesize_sequences(sf_dir)
+    t = pq.read_table(path, columns=["doc_id"])
+    ids = [int(d.split("-")[1]) for d in t.column("doc_id").to_pylist()]
+    return sorted(set(ids))
+
+
+def test_unique_check_finds_injected_dups(spark, seq, doc_ids):
+    res = run_checks(seq, [Check("uniq", "unique", {"key": "doc_id"})])
+    viols = {r["doc_id"] for r in res.violations.collect()}
+    expected = {f"doc-{d:08d}" for d in doc_ids if d % DUP_MOD == 0}
+    assert viols == expected
+    verd = res.verdicts.collect()
+    failed = {r["partition_id"] for r in verd if not r["passed"]}
+    assert failed  # at least one partition has dups
+    # every partition got exactly one verdict row
+    assert len(verd) == len({r["partition_id"] for r in verd})
+
+
+def test_referential_check(spark, seq, doc_ids):
+    allowed = sorted({r["source"] for r in seq.select("source").distinct().collect()
+                      if r["source"] != BAD_SOURCE})
+    res = run_checks(seq, [Check("ref", "referential",
+                                 {"column": "source", "allowed": allowed})])
+    viols = {r["doc_id"] for r in res.violations.collect()}
+    expected = {f"doc-{d:08d}" for d in doc_ids if d % BAD_SOURCE_MOD == 0}
+    assert viols == expected
+    bad_verdict = [r for r in res.verdicts.collect() if not r["passed"]]
+    assert {r["partition_id"] for r in bad_verdict} == ({BAD_SOURCE} if expected else set())
+
+
+def test_ntok_consistency_check(spark, seq, doc_ids):
+    res = run_checks(seq, [Check("ntok", "n_tok_consistency", {})])
+    viols = {r["doc_id"] for r in res.violations.collect()}
+    expected = {f"doc-{d:08d}" for d in doc_ids if d % BAD_NTOK_MOD == 0}
+    assert viols == expected
+
+
+def test_token_invariant_detects_mutation(spark, seq):
+    clean = run_checks(seq, [Check("tok", "token_invariant", {"expected": seq})])
+    assert clean.violations.count() == 0
+    assert all(r["passed"] for r in clean.verdicts.collect())
+
+    # mutate one document's tokens → exactly that doc flagged
+    mutated = seq.withColumn(
+        "tokens",
+        F.when(F.col("doc_id") == "doc-00000001",
+               F.concat(F.col("tokens"), F.array(F.lit(999))))
+         .otherwise(F.col("tokens")))
+    res = run_checks(mutated, [Check("tok", "token_invariant", {"expected": seq})])
+    viols = [r["doc_id"] for r in res.violations.collect()]
+    assert viols == ["doc-00000001"]
+
+
+def test_zscore_threshold_verdict_semantics(spark):
+    # partition "hot" has mean shifted far beyond λ·σ of the pinned baseline
+    rows = [("doc-%d" % i, [1, 2], 2, "calm") for i in range(50)]
+    rows += [("doc-h%d" % i, [1] * 40, 40, "hot") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    base = spark.createDataFrame([(2.0, 1.0)], "mean double, std double")
+    res = run_checks(df, [Check("z", "zscore_threshold",
+                                {"value_col": "n_tok", "lambda": 3.0,
+                                 "ignore_diff_rate": 0.1, "baseline": base})])
+    verd = {r["partition_id"]: r["passed"] for r in res.verdicts.collect()}
+    assert verd == {"calm": True, "hot": False}
+    # row-level violations only from the failing partition
+    parts = {r["partition_id"] for r in res.violations.collect()}
+    assert parts == {"hot"}
+
+
+def test_default_suite_runs_end_to_end(spark, seq):
+    allowed = sorted({r["source"] for r in seq.select("source").distinct().collect()
+                      if r["source"] != BAD_SOURCE})
+    res = run_checks(seq, default_suite(allowed))
+    verd = res.verdicts.collect()
+    check_ids = {r["check_id"] for r in verd}
+    assert check_ids == {"column_stats_n_tok", "zscore_n_tok", "unique_doc_id",
+                         "referential_source", "n_tok_consistency",
+                         "drift_psi_n_tok", "drift_ks_n_tok"}
+    assert res.violations.count() > 0
