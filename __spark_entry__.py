@@ -36,6 +36,18 @@ from pyanomalydetector_spark.checks.core import (  # noqa: E402
 from pyanomalydetector_spark.checks.drift import (  # noqa: E402
     psi_by_partition, ks_by_partition,
 )
+from pyanomalydetector_spark.operators.detect import (  # noqa: E402
+    DetectorConfig, detect1, detect2, adjacent_diff_stats, local_peaks,
+)
+from pyanomalydetector_spark.operators.rollup import tumbling_rollup  # noqa: E402
+from pyanomalydetector_spark.operators.normalize import (  # noqa: E402
+    resample_to_grid, minmax_normalize,
+)
+from pyanomalydetector_spark.operators.topn import top_n_per_group  # noqa: E402
+from pyanomalydetector_spark.plans.pipeline import (  # noqa: E402
+    ENDEP, events_metrics, split_windows, detect_pipeline,
+)
+from pyanomalydetector_spark.sources.tables import load_table  # noqa: E402
 
 SF001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
@@ -138,6 +150,190 @@ def _q_seq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("partition_id", F.round("ks_d", 6).alias("ks_d"))
 
 
+# ------------------------------------------------- events detector ops ----
+
+_CFG = DetectorConfig()
+_H_START = ENDEP - _CFG.history_interval * _CFG.history_retention
+_T_START = ENDEP - _CFG.trends_interval * _CFG.trends_retention
+_STARTEP2 = ENDEP - _CFG.history_interval * _CFG.history_recent_retention
+
+
+def _hist_trend(spark: SparkSession, sf_dir: str):
+    m = events_metrics(spark, sf_dir)
+    hist = m.filter((F.col("clock") >= _H_START) & (F.col("clock") <= ENDEP))
+    trend_src = m.filter((F.col("clock") >= _T_START) & (F.col("clock") < _H_START))
+    return hist, tumbling_rollup(trend_src, _CFG.trends_interval)
+
+
+def _q_ev_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/T5: tumbling daily rollup (logan_getter.py:253-268 semantics)."""
+    _, trend = _hist_trend(spark, sf_dir)
+    return trend.select(
+        "itemid", "clock",
+        F.round("value_min", 6).alias("value_min"),
+        F.round("value_avg", 6).alias("value_avg"),
+        F.round("value_max", 6).alias("value_max"),
+        F.col("value_cnt").cast("bigint").alias("value_cnt"),
+    )
+
+
+def _q_ev_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect1 trend side: sufficient stats of daily value_avg per item."""
+    _, trend = _hist_trend(spark, sf_dir)
+    s = finalize_mean_std(sufficient_stats(
+        trend.select("itemid", F.col("value_avg").alias("value")),
+        ["itemid"], "value"))
+    return s.select("itemid", F.col("cnt").cast("bigint").alias("cnt"),
+                    F.round("mean", 6).alias("mean"),
+                    F.round("std", 6).alias("std"))
+
+
+def _q_ev_detect1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect1 survivors (detector.py:201-230)."""
+    hist, trend = _hist_trend(spark, sf_dir)
+    cfg = DetectorConfig(detect1_lambda_threshold=1.0, ignore_diff_rate=0.01)
+    return detect1(hist, trend.select(
+        "itemid", "clock", F.col("value_avg").alias("value")), cfg) \
+        .select(F.col("itemid").cast("bigint").alias("itemid"))
+
+
+def _q_ev_adjacent_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per-item adjacent-diff mean/std over the daily max envelope."""
+    _, trend = _hist_trend(spark, sf_dir)
+    env = trend.select("itemid", "clock", F.col("value_max").alias("value"))
+    return adjacent_diff_stats(env).select(
+        "itemid", F.round("mean", 6).alias("mean"), F.round("std", 6).alias("std"))
+
+
+def _q_ev_detect2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect2 survivors (detector.py:340-356)."""
+    hist, trend = _hist_trend(spark, sf_dir)
+    cfg = DetectorConfig(detect2_lambda_threshold=1.0, ignore_diff_rate=0.01)
+    return detect2(hist, trend, cfg) \
+        .select(F.col("itemid").cast("bigint").alias("itemid"))
+
+
+def _q_ev_local_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: sliding-window mean peak of the daily max envelope (3-day window)."""
+    _, trend = _hist_trend(spark, sf_dir)
+    env = trend.select("itemid", "clock", F.col("value_max").alias("value"))
+    return local_peaks(env, 3 * 86400, is_up=True).select(
+        "itemid", F.round("local_peak", 6).alias("local_peak"))
+
+
+def _q_ev_detect3_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect3 count stage (detector.py:406-432): history rows beyond
+    mean+λ·σ of the max envelope, kept if ratio > rate."""
+    hist, trend = _hist_trend(spark, sf_dir)
+    lam, rate = 1.0, 0.001
+    hist_count = (ENDEP - ENDEP % 3600 - (_T_START - _T_START % 3600)) // 3600 + 1
+    env_stats = trend.groupBy("itemid").agg(
+        F.avg("value_max").alias("mean"),
+        F.coalesce(F.stddev_samp("value_max"), F.lit(0.0)).alias("std"))
+    j = hist.join(F.broadcast(env_stats), "itemid")
+    counts = j.filter(F.col("value") > F.col("mean") + lam * F.col("std")) \
+              .groupBy("itemid").agg(F.count(F.lit(1)).alias("anom_cnt"))
+    return counts.filter(F.col("anom_cnt") / F.lit(float(hist_count)) > rate) \
+                 .select(F.col("itemid").cast("bigint").alias("itemid"),
+                         F.col("anom_cnt").cast("bigint").alias("anom_cnt"))
+
+
+def _q_ev_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full detect1→2→3 cascade (rows-only check: multi-stage orchestration)."""
+    cfg = DetectorConfig(detect1_lambda_threshold=1.0,
+                         detect2_lambda_threshold=1.0,
+                         detect3_lambda_threshold1=1.5,
+                         detect3_lambda_threshold2=1.0,
+                         ignore_diff_rate=0.01,
+                         anomaly_valid_count_rate=0.001)
+    return detect_pipeline(spark, sf_dir, cfg) \
+        .select(F.col("itemid").cast("bigint").alias("itemid"))
+
+
+def _q_ev_grid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: resample history onto the hourly base-clock grid + forward-fill."""
+    hist, _ = _hist_trend(spark, sf_dir)
+    out = resample_to_grid(hist, _H_START, ENDEP, 3600)
+    return out.select(F.col("itemid").cast("bigint").alias("itemid"),
+                      F.col("clock").cast("bigint").alias("clock"),
+                      F.round("value", 6).alias("value"))
+
+
+def _q_ev_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: per-item min-max normalization of the history slice."""
+    hist, _ = _hist_trend(spark, sf_dir)
+    return minmax_normalize(hist).select(
+        F.col("itemid").cast("bigint").alias("itemid"),
+        F.col("clock").cast("bigint").alias("clock"),
+        F.round("value", 6).alias("value"))
+
+
+def _q_ev_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: top-3 events per user by value (window rank, not groupby-apply)."""
+    ev = load_table(spark, sf_dir, "events")
+    return top_n_per_group(ev, ["user_id"], "value", 3, ["event_id"]) \
+        .select(F.col("user_id").cast("bigint").alias("user_id"),
+                F.col("event_id").cast("bigint").alias("event_id"),
+                F.round("value", 6).alias("value"))
+
+
+# --------------------------------------------- relational op coverage ----
+
+def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A6 analog at scan scale: TPC-H Q1-style aggregate over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+               F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                .alias("sum_disc_price"),
+               F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+               F.count(F.lit(1)).alias("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_catalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/J8: dimension chain customer⋈nation⋈region (broadcast joins)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+         .join(r, n["n_regionkey"] == r["r_regionkey"])
+         .groupBy("r_name", "n_name")
+         .agg(F.count(F.lit(1)).alias("n_customers"),
+              F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"))
+    )
+
+
+def _q_orders_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10/U5: customers with no orders (left_anti)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti") \
+            .select(F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_name")
+
+
+def _q_orders_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/U6: suppliers that appear in lineitem (left_semi)."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    return s.join(li, s["s_suppkey"] == li["l_suppkey"], "left_semi") \
+            .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name")
+
+
+def _q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2: UNION ALL + dedup of key sets from two tables."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"))
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"))
+    return o.unionByName(c).distinct() \
+            .select(F.col("custkey").cast("bigint").alias("custkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "seq_column_stats": _q_seq_column_stats,
@@ -147,11 +343,235 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_zscore_verdict": _q_seq_zscore_verdict,
         "seq_drift_psi": _q_seq_drift_psi,
         "seq_drift_ks": _q_seq_drift_ks,
+        "ev_rollup": _q_ev_rollup,
+        "ev_trend_stats": _q_ev_trend_stats,
+        "ev_detect1": _q_ev_detect1,
+        "ev_adjacent_diff_stats": _q_ev_adjacent_diff_stats,
+        "ev_detect2": _q_ev_detect2,
+        "ev_local_peak": _q_ev_local_peak,
+        "ev_detect3_counts": _q_ev_detect3_counts,
+        "ev_cascade": _q_ev_cascade,
+        "ev_grid_resample": _q_ev_grid_resample,
+        "ev_minmax_normalize": _q_ev_minmax_normalize,
+        "ev_topn": _q_ev_topn,
+        "tpch_pricing_summary": _q_tpch_pricing_summary,
+        "catalog_join": _q_catalog_join,
+        "orders_anti_join": _q_orders_anti_join,
+        "orders_semi_join": _q_orders_semi_join,
+        "union_dedup": _q_union_dedup,
     }
 
 
+# Shared oracle fragments (events → long-format metrics + window slices)
+_EV = ("(SELECT user_id AS itemid, CAST(FLOOR(epoch(ts)) AS BIGINT) AS clock, "
+       "CAST(value AS DOUBLE) AS value FROM events)")
+_HIST = (f"(SELECT * FROM {_EV} ev WHERE clock >= {{h_start}} AND clock <= {{endep}})"
+         .format(h_start=_H_START, endep=ENDEP))
+_TR = (f"(SELECT itemid, clock - clock % 86400 AS clock, "
+       f"MIN(value) AS value_min, AVG(value) AS value_avg, "
+       f"MAX(value) AS value_max, COUNT(*) AS value_cnt "
+       f"FROM {_EV} ev WHERE clock >= {_T_START} AND clock < {_H_START} "
+       f"GROUP BY 1, 2)")
+
+
 def oracle_sql() -> dict[str, str]:
+    hist_count = (ENDEP - ENDEP % 3600 - (_T_START - _T_START % 3600)) // 3600 + 1
+    grid_lo = _H_START - _H_START % 3600
+    grid_hi = ENDEP - ENDEP % 3600
     return {
+        "ev_rollup": f"""
+            SELECT itemid, clock,
+                   ROUND(value_min, 6) AS value_min,
+                   ROUND(value_avg, 6) AS value_avg,
+                   ROUND(value_max, 6) AS value_max,
+                   value_cnt
+            FROM {_TR} tr
+        """,
+        "ev_trend_stats": f"""
+            SELECT itemid, COUNT(*) AS cnt,
+                   ROUND(AVG(value_avg), 6) AS mean,
+                   ROUND(COALESCE(STDDEV_SAMP(value_avg), 0), 6) AS std
+            FROM {_TR} tr
+            GROUP BY itemid
+        """,
+        "ev_detect1": f"""
+            WITH t AS (
+                SELECT itemid, AVG(value_avg) AS mean_t,
+                       COALESCE(STDDEV_SAMP(value_avg), 0) AS std_t,
+                       COUNT(*) AS cnt
+                FROM {_TR} tr GROUP BY itemid
+            ),
+            h AS (
+                SELECT itemid, AVG(value) AS mean_h FROM {_HIST} hh GROUP BY itemid
+            )
+            SELECT DISTINCT h.itemid
+            FROM h JOIN t ON h.itemid = t.itemid
+            WHERE t.cnt > 3 AND t.std_t > 0
+              AND (mean_h > mean_t + 1.0 * std_t OR mean_h < mean_t - 1.0 * std_t)
+              AND mean_t > 0 AND ABS(mean_h - mean_t) / mean_t > 0.01
+        """,
+        "ev_adjacent_diff_stats": f"""
+            WITH d AS (
+                SELECT itemid,
+                       value_max - LAG(value_max) OVER
+                           (PARTITION BY itemid ORDER BY clock) AS diff
+                FROM {_TR} tr
+            )
+            SELECT itemid, ROUND(AVG(diff), 6) AS mean,
+                   ROUND(STDDEV_SAMP(diff), 6) AS std
+            FROM d WHERE diff IS NOT NULL AND diff <> 0
+            GROUP BY itemid
+        """,
+        "ev_detect2": f"""
+            WITH firsts AS (
+                SELECT DISTINCT itemid,
+                       FIRST_VALUE(value) OVER
+                           (PARTITION BY itemid ORDER BY clock, value) AS fv
+                FROM {_HIST} hh
+            ),
+            r AS (
+                SELECT h.itemid, MIN(h.value) - MAX(f.fv) AS rmin,
+                       MAX(h.value) - MAX(f.fv) AS rmax
+                FROM {_HIST} h JOIN firsts f ON h.itemid = f.itemid
+                GROUP BY h.itemid
+            ),
+            dup AS (
+                SELECT itemid, value_max - LAG(value_max) OVER
+                       (PARTITION BY itemid ORDER BY clock) AS d
+                FROM {_TR} tr
+            ),
+            sup AS (
+                SELECT itemid, AVG(d) AS mean, STDDEV_SAMP(d) AS std
+                FROM dup WHERE d IS NOT NULL AND d <> 0
+                GROUP BY itemid HAVING STDDEV_SAMP(d) > 0
+            ),
+            ddw AS (
+                SELECT itemid, value_min - LAG(value_min) OVER
+                       (PARTITION BY itemid ORDER BY clock) AS d
+                FROM {_TR} tr
+            ),
+            sdw AS (
+                SELECT itemid, AVG(d) AS mean, STDDEV_SAMP(d) AS std
+                FROM ddw WHERE d IS NOT NULL AND d <> 0
+                GROUP BY itemid HAVING STDDEV_SAMP(d) > 0
+            ),
+            up AS (
+                SELECT r.itemid FROM r JOIN sup ON r.itemid = sup.itemid
+                WHERE ABS(r.rmax - sup.mean) > 1.0 * sup.std
+                  AND ABS(r.rmax - sup.mean) > 0.01 * ABS(sup.mean)
+            ),
+            dw AS (
+                SELECT r.itemid FROM r JOIN sdw ON r.itemid = sdw.itemid
+                WHERE ABS(sdw.mean - r.rmin) > 1.0 * sdw.std
+                  AND ABS(sdw.mean - r.rmin) > 0.01 * ABS(sdw.mean)
+            )
+            SELECT itemid FROM up UNION SELECT itemid FROM dw
+        """,
+        "ev_local_peak": f"""
+            WITH m AS (
+                SELECT itemid,
+                       AVG(value_max) OVER (PARTITION BY itemid ORDER BY clock
+                           RANGE BETWEEN {3 * 86400 - 1} PRECEDING AND CURRENT ROW)
+                           AS win_mean
+                FROM {_TR} tr
+            )
+            SELECT itemid, ROUND(MAX(win_mean), 6) AS local_peak
+            FROM m GROUP BY itemid
+        """,
+        "ev_detect3_counts": f"""
+            WITH s AS (
+                SELECT itemid, AVG(value_max) AS mean,
+                       COALESCE(STDDEV_SAMP(value_max), 0) AS std
+                FROM {_TR} tr GROUP BY itemid
+            ),
+            c AS (
+                SELECT h.itemid, COUNT(*) AS anom_cnt
+                FROM {_HIST} h JOIN s ON h.itemid = s.itemid
+                WHERE h.value > s.mean + 1.0 * s.std
+                GROUP BY h.itemid
+            )
+            SELECT itemid, anom_cnt FROM c
+            WHERE anom_cnt / {float(hist_count)} > 0.001
+        """,
+        "ev_grid_resample": f"""
+            WITH grid AS (
+                SELECT UNNEST(generate_series({grid_lo}, {grid_hi}, 3600)) AS clock
+            ),
+            items AS (SELECT DISTINCT itemid FROM {_HIST} hh),
+            binned AS (
+                SELECT itemid,
+                       clock + (3600 - clock % 3600) % 3600 AS gclock,
+                       AVG(value) AS cell
+                FROM {_HIST} hh GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT i.itemid, g.clock, b.cell
+                FROM items i CROSS JOIN grid g
+                LEFT JOIN binned b ON b.itemid = i.itemid AND b.gclock = g.clock
+            )
+            SELECT itemid, clock,
+                   ROUND(COALESCE(
+                       LAST_VALUE(cell IGNORE NULLS) OVER
+                           (PARTITION BY itemid ORDER BY clock
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       FIRST_VALUE(cell IGNORE NULLS) OVER
+                           (PARTITION BY itemid ORDER BY clock
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   ), 6) AS value
+            FROM j
+        """,
+        "ev_minmax_normalize": f"""
+            SELECT itemid, clock,
+                   ROUND(COALESCE(
+                       (value - MIN(value) OVER w) /
+                       NULLIF(MAX(value) OVER w - MIN(value) OVER w, 0), 0), 6)
+                       AS value
+            FROM {_HIST} hh
+            WINDOW w AS (PARTITION BY itemid)
+        """,
+        "ev_topn": """
+            SELECT user_id, event_id, ROUND(value, 6) AS value
+            FROM (
+                SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "catalog_join": """
+            SELECT r_name, n_name, COUNT(*) AS n_customers,
+                   ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "orders_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "orders_semi_join": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+        """,
+        "union_dedup": """
+            SELECT DISTINCT custkey FROM (
+                SELECT o_custkey AS custkey FROM orders
+                UNION ALL
+                SELECT c_custkey AS custkey FROM customer
+            )
+        """,
         "seq_column_stats": f"""
             SELECT source AS partition_id,
                    COUNT(*) AS cnt,

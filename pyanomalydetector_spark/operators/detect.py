@@ -1,0 +1,255 @@
+"""The detect1→detect2→detect3→detect4 anomaly cascade, Spark-native.
+
+Reference: /root/reference/data_processing/detector.py. All inputs are
+long-format metric DataFrames ``(itemid, clock, value)`` (the reference's
+universal exchange shape, data_getter/data_getter.py:37-40) plus trend
+envelopes ``(itemid, clock, value_min, value_avg, value_max)``.
+
+Key structural difference from the reference: where it loops per item and per
+``batch_size`` chunk (detector.py:157, 301, 389, 437), every stage here is ONE
+distributed plan — groupBy/join/window over all items at once; Spark's hash
+aggregation and AQE replace the manual batching, and the per-item Python loops
+become whole-stage-codegen window functions.
+
+Deliberate, documented semantic choices:
+- The reference's ``ignore_diff_rate`` guard has an operator-precedence bug
+  (detector.py:218: ``mean_t > 0 & (...)`` parses as ``mean_t > (0 & ...)``).
+  We implement the *intended* semantics ``mean_t > 0 AND reldiff > rate``.
+- The detect3 local-peak walk (detector.py:435-457) evaluates sliding-window
+  means at stride w/2 anchored at the last sample; we evaluate the same
+  ``(c-w, c]`` window mean anchored at every sample row (a superset of anchor
+  points, strictly tighter peak estimate) via ``rangeBetween`` — the stride
+  was a CPU optimization in pandas, not a semantic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyanomalydetector_spark.functions.stats import sufficient_stats, finalize_mean_std
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Thresholds mirroring the reference's data-source config (default.yml)."""
+    detect1_lambda_threshold: float = 2.0
+    detect2_lambda_threshold: float = 2.0
+    detect3_lambda_threshold1: float = 3.0
+    detect3_lambda_threshold2: float = 2.0
+    ignore_diff_rate: float = 0.1
+    trends_min_count: int = 3
+    anomaly_valid_count_rate: float = 0.2
+    history_interval: int = 3600
+    trends_interval: int = 86400
+    history_retention: int = 72      # history window = interval * retention
+    history_recent_retention: int = 24
+    trends_retention: int = 27
+    long_trends_retention: int = 60
+
+
+def detect1(history_df: DataFrame, trends_df: DataFrame,
+            cfg: DetectorConfig) -> DataFrame:
+    """detect1 (detector.py:185-230): recent mean beyond λ·σ of trend stats.
+
+    history mean per item ⋈ trend mean/std/cnt per item (J1), gated by
+    ``cnt > trends_min_count`` and ``std > 0``, then the λ·σ band filter and
+    the relative-diff guard. Returns DF(itemid) — the survivor key set.
+    Both sides are per-item aggregates (tiny vs raw rows) → broadcast-friendly.
+    """
+    t = finalize_mean_std(sufficient_stats(trends_df, ["itemid"], "value")) \
+        .select("itemid", F.col("mean").alias("mean_t"),
+                F.col("std").alias("std_t"), "cnt") \
+        .filter((F.col("cnt") > cfg.trends_min_count) & (F.col("std_t") > 0))
+    h = finalize_mean_std(sufficient_stats(history_df, ["itemid"], "value")) \
+        .select("itemid", F.col("mean").alias("mean_h"))
+
+    j = h.join(t, "itemid")
+    lam = cfg.detect1_lambda_threshold
+    band = (F.col("mean_h") > F.col("mean_t") + lam * F.col("std_t")) | \
+           (F.col("mean_h") < F.col("mean_t") - lam * F.col("std_t"))
+    dev = F.abs(F.col("mean_h") - F.col("mean_t"))
+    guard = (F.col("mean_t") > 0) & \
+            (F.try_divide(dev, F.col("mean_t")) > cfg.ignore_diff_rate)
+    return j.filter(band & guard).select("itemid").distinct()
+
+
+def adjacent_diff_stats(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """W1 (detector.py:299-312): per-item lag diff, drop zeros, mean/std.
+
+    The reference's per-item ``.diff()`` loop becomes one window function.
+    pandas ``agg(['mean','std'])`` ≡ avg/stddev_samp (Bessel, NULL at n=1 —
+    downstream ``std > 0`` filters drop NULLs exactly like NaNs in pandas).
+    """
+    w = Window.partitionBy("itemid").orderBy("clock")
+    diff = (F.col(value_col) - F.lag(value_col).over(w)).alias("diff")
+    return (
+        df.select("itemid", "clock", diff)
+          .filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+          .groupBy("itemid")
+          .agg(F.avg("diff").alias("mean"), F.stddev_samp("diff").alias("std"))
+    )
+
+
+def _detect_diff_anomalies(trends_df: DataFrame, recent_stats: DataFrame,
+                           lam: float, ignore_diff_rate: float,
+                           is_up: bool) -> DataFrame:
+    """detector.py:286-337: envelope adjacent-diff stats vs recent extremes."""
+    col = "value_max" if is_up else "value_min"
+    env = trends_df.select("itemid", "clock", F.col(col).alias("value"))
+    tstats = adjacent_diff_stats(env).filter(F.col("std") > 0)
+
+    j = recent_stats.join(tstats, "itemid")
+    # rel-diff guard in multiplication form: |ext−mean| > rate·|mean| ≡ the
+    # reference's |(ext−mean)/mean| > rate including its mean==0 → inf case
+    # (pandas inf > rate is True; a division here would be engine-dependent).
+    if is_up:
+        diff = F.abs(F.col("max") - F.col("mean"))
+    else:
+        diff = F.abs(F.col("mean") - F.col("min"))
+    return j.filter((diff > lam * F.col("std"))
+                    & (diff > ignore_diff_rate * F.abs(F.col("mean")))) \
+            .select("itemid")
+
+
+def detect2(history_df: DataFrame, trends_df: DataFrame,
+            cfg: DetectorConfig) -> DataFrame:
+    """detect2 (detector.py:340-379): recent min/max−first vs trend-diff σ.
+
+    recent stats: per-item min/max/first-by-clock (first ≡ ``min_by``),
+    re-based to the first value (detector.py:344-348); then the up/down
+    envelope diff tests, unioned distinct.
+    """
+    # "first" = value at the earliest clock; tiebreak on value so the result
+    # is deterministic under any shuffle order (pandas relied on row order)
+    first = F.min_by("value", F.struct("clock", "value"))
+    r = history_df.groupBy("itemid").agg(
+        (F.min("value") - first).alias("min"),
+        (F.max("value") - first).alias("max"),
+    )
+    up = _detect_diff_anomalies(trends_df, r, cfg.detect2_lambda_threshold,
+                                cfg.ignore_diff_rate, is_up=True)
+    dw = _detect_diff_anomalies(trends_df, r, cfg.detect2_lambda_threshold,
+                                cfg.ignore_diff_rate, is_up=False)
+    return up.union(dw).distinct()
+
+
+def local_peaks(env_df: DataFrame, window: int, is_up: bool = True) -> DataFrame:
+    """W2 (detector.py:435-457): peak of sliding-window means per item.
+
+    Window mean over ``(c-window, c]`` at every sample row via rangeBetween
+    (integer clocks → [c-window+1, c] inclusive ≡ the reference's half-open
+    interval), then max (up) / min (down) of those means.
+    """
+    w = Window.partitionBy("itemid").orderBy("clock") \
+              .rangeBetween(-(window - 1), 0)
+    win_mean = F.avg("value").over(w).alias("win_mean")
+    means = env_df.select("itemid", "clock", win_mean)
+    agg = F.max("win_mean") if is_up else F.min("win_mean")
+    return means.groupBy("itemid").agg(agg.alias("local_peak"))
+
+
+def _filter_by_anomaly_cnt(history_df: DataFrame, env_stats: DataFrame,
+                           hist_count: int, lam: float,
+                           valid_count_rate: float, is_up: bool) -> DataFrame:
+    """detector.py:382-432: per-row z filter + count-ratio verdict.
+
+    The reference loops stats rows and concatenates per-item slices
+    (_filter_anomalies); here it is one broadcast join + vectorized filter +
+    hash-agg count — the loop disappears.
+    """
+    j = history_df.join(F.broadcast(env_stats), "itemid")
+    if is_up:
+        flt = F.col("value") > F.col("mean") + lam * F.col("std")
+    else:
+        flt = F.col("value") < F.col("mean") - lam * F.col("std")
+    counts = j.filter(flt).groupBy("itemid").agg(F.count(F.lit(1)).alias("anom_cnt"))
+    return counts.filter(F.col("anom_cnt") / F.lit(float(hist_count))
+                         > valid_count_rate).select("itemid")
+
+
+def _filter_anomal_history(history_df: DataFrame, env_df: DataFrame,
+                           env_stats: DataFrame, hist_count: int,
+                           density_window: int, lam: float,
+                           valid_count_rate: float, is_up: bool) -> DataFrame:
+    """detector.py:461-485: count-ratio filter, then local-peak guard."""
+    survivors = _filter_by_anomaly_cnt(history_df, env_stats, hist_count,
+                                       lam, valid_count_rate, is_up)
+    peaks = local_peaks(env_df.join(survivors, "itemid"), density_window, is_up)
+    means = history_df.join(survivors, "itemid").groupBy("itemid") \
+                      .agg(F.avg("value").alias("hist_mean"))
+    j = peaks.join(means, "itemid")
+    cond = (F.col("local_peak") < F.col("hist_mean")) if is_up \
+        else (F.col("local_peak") > F.col("hist_mean"))
+    return j.filter(cond).select("itemid")
+
+
+def detect3(history_df: DataFrame, trends_df: DataFrame,
+            hist_count: int, hist_count2: int, startep2: int,
+            cfg: DetectorConfig, is_long_trend: bool = False) -> DataFrame:
+    """detect3/detect4 (detector.py:498-584): trend envelope z-count cascade.
+
+    Stage A (λ1) over the full history slice; stage B (λ2) over the recent
+    slice [startep2, ∞) restricted to items NOT flagged by stage A
+    (detector.py:538). ``hist_count``/``hist_count2`` are the base-clock grid
+    sizes the reference uses as denominators (detector.py:526, 545).
+    """
+    env_up = trends_df.select("itemid", "clock", F.col("value_max").alias("value"))
+    env_dw = trends_df.select("itemid", "clock", F.col("value_min").alias("value"))
+
+    def env_stats(env: DataFrame) -> DataFrame:
+        # detector.py:488-495 — mean/std (pandas Bessel) + count per item
+        return env.groupBy("itemid").agg(
+            F.avg("value").alias("mean"),
+            F.coalesce(F.stddev_samp("value"), F.lit(0.0)).alias("std"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+
+    stats_up, stats_dw = env_stats(env_up), env_stats(env_dw)
+    density_window = cfg.history_interval * cfg.history_retention
+    lam1 = cfg.detect3_lambda_threshold1
+    lam2 = cfg.detect3_lambda_threshold2
+    rate = cfg.anomaly_valid_count_rate
+
+    a_up = _filter_anomal_history(history_df, env_up, stats_up, hist_count,
+                                  density_window, lam1, rate, True)
+    a_dw = _filter_anomal_history(history_df, env_dw, stats_dw, hist_count,
+                                  density_window, lam1, rate, False)
+    stage_a = a_up.union(a_dw).distinct()
+
+    hist2 = history_df.join(stage_a, "itemid", "left_anti") \
+                      .filter(F.col("clock") >= startep2)
+    b_up = _filter_anomal_history(hist2, env_up, stats_up, hist_count2,
+                                  density_window, lam2, rate, True)
+    b_dw = _filter_anomal_history(hist2, env_dw, stats_dw, hist_count2,
+                                  density_window, lam2, rate, False)
+    return stage_a.union(b_up).union(b_dw).distinct()
+
+
+def detect_cascade(history_df: DataFrame, trends_df: DataFrame,
+                   recent_df: DataFrame, cfg: DetectorConfig,
+                   hist_count: int, hist_count2: int,
+                   startep2: int) -> DataFrame:
+    """The full cascade (detect_anomalies.py:82-113): each stage only sees the
+    previous stage's survivors — a chain of semi-joins, early-exit checked by
+    the driver between stages.
+
+    ``history_df``: short recent window; ``recent_df``: the detect2/3 recent
+    slice; ``trends_df``: envelope rollup.
+    """
+    s1 = detect1(history_df, trends_df.select(
+        "itemid", "clock", F.col("value_avg").alias("value")), cfg)
+    if s1.isEmpty():
+        return s1
+
+    h2 = recent_df.join(s1, "itemid")  # left_semi by key set
+    t2 = trends_df.join(s1, "itemid")
+    s2 = detect2(h2, t2, cfg)
+    if s2.isEmpty():
+        return s2
+
+    h3 = recent_df.join(s2, "itemid")
+    t3 = trends_df.join(s2, "itemid")
+    return detect3(h3, t3, hist_count, hist_count2, startep2, cfg)

@@ -1,0 +1,78 @@
+"""Grid resampling and normalization.
+
+Reference: /root/reference/utils/normalizer.py —
+- ``get_base_clocks`` (:10-14): uniform grid, epochs floored to the unit.
+- ``fit_to_base_clocks`` (:31-72): merge-walk that averages early samples,
+  carries values forward onto the grid.
+- ``normalize_metric_df`` (:74-91): per-item min-max scaling.
+
+Spark realization: the grid is ``sequence()`` + explode (distributed, no
+driver lists); alignment is an aggregate of samples into their grid cell +
+forward-fill via ``last(ignorenulls)`` over an ordered window; min-max is a
+window aggregate. All JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def base_clock_grid(spark, startep: int, endep: int, unitsecs: int) -> DataFrame:
+    """get_base_clocks (normalizer.py:10-14) as a one-column DataFrame."""
+    lo = int(startep - (startep % unitsecs))
+    hi = int(endep - (endep % unitsecs))
+    return spark.range(1).select(
+        F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(int(unitsecs))))
+         .alias("clock"))
+
+
+def resample_to_grid(df: DataFrame, startep: int, endep: int,
+                     unitsecs: int) -> DataFrame:
+    """Align (itemid, clock, value) onto the uniform grid.
+
+    Semantics (simplified fit_to_base_clocks): samples within a grid cell
+    ``(g-unit, g]`` are averaged; empty cells carry the last seen value
+    forward; leading empty cells take the first following value (backfill) —
+    matching the walk's behavior of assigning the next sample when
+    ``clocks[j] > base_clocks[i]`` (normalizer.py:43-46).
+    """
+    spark = df.sparkSession
+    grid = base_clock_grid(spark, startep, endep, unitsecs)
+    items = df.select("itemid").distinct()
+    full = items.crossJoin(grid)
+
+    cell = (F.col("clock") + (F.lit(unitsecs) - F.pmod(F.col("clock"), F.lit(unitsecs)))
+            % F.lit(unitsecs)).alias("gclock")  # ceil to grid
+    binned = (
+        df.filter((F.col("clock") > startep - (startep % unitsecs) - unitsecs)
+                  & (F.col("clock") <= endep))
+          .select("itemid", cell, "value")
+          .groupBy("itemid", "gclock")
+          .agg(F.avg("value").alias("cell_value"))
+    )
+
+    j = full.join(binned,
+                  (full["itemid"] == binned["itemid"]) &
+                  (full["clock"] == binned["gclock"]), "left") \
+            .select(full["itemid"], full["clock"], "cell_value")
+
+    w_ff = Window.partitionBy("itemid").orderBy("clock") \
+                 .rowsBetween(Window.unboundedPreceding, 0)
+    w_bf = Window.partitionBy("itemid").orderBy("clock") \
+                 .rowsBetween(0, Window.unboundedFollowing)
+    filled = F.coalesce(
+        F.last("cell_value", ignorenulls=True).over(w_ff),
+        F.first("cell_value", ignorenulls=True).over(w_bf),
+    )
+    return j.select("itemid", "clock", filled.alias("value"))
+
+
+def minmax_normalize(df: DataFrame, itemid_col: str = "itemid",
+                     value_col: str = "value") -> DataFrame:
+    """Per-item (x−min)/(max−min), NaN/NULL→0 (normalizer.py:74-91)."""
+    w = Window.partitionBy(itemid_col)
+    scaled = F.try_divide(F.col(value_col) - F.min(value_col).over(w),
+                          F.max(value_col).over(w) - F.min(value_col).over(w))
+    out = F.when(scaled.isNull() | F.isnan(scaled), F.lit(0.0)).otherwise(scaled)
+    return df.withColumn(value_col, out)
