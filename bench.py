@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>, ...extras}
+
+Extras (informational, not part of the driver contract):
+- ``validated_seq_per_sec``: rows of the sequence table / check-suite wall time
+  (the BASELINE.json headline metric at this SF).
+- ``rows``: per-query result row counts (sanity that work actually happened).
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced separately by
+``tools/scaling_bench.py`` and recorded in BASELINE.md — keeping the per-round
+bench fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline subset of __spark_entry__.queries(): the flagship check suite plus
+# one representative per operator family (stats, drift, window, cascade,
+# relational, dedup, similarity, text).
+HEADLINE = [
+    "check_suite",            # flagship: all checks on the sequence table
+    "seq_column_stats",
+    "seq_drift_psi",
+    "ev_rollup",
+    "ev_detect1",
+    "ev_cascade",
+    "ev_grid_resample",
+    "tpch_pricing_summary",
+    "catalog_join",
+    "doc_dedup_exact",
+    "doc_dedup_minhash",
+    "doc_quality",
+    "emb_ann_topk",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as e
+    from pyanomalydetector_spark.session import get_spark
+    from pyanomalydetector_spark.sources.sequences import load_sequences
+    from pyanomalydetector_spark.checks.core import run_checks, default_suite
+
+    spark = get_spark("bench")
+    qs = e.queries()
+
+    # warm the JVM/session with a trivial action so q1 doesn't pay startup
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    n_seq = None
+
+    for name in HEADLINE:
+        if name == "check_suite":
+            seq = load_sequences(spark, SF_DIR)
+            allowed = e._allowed_sources(seq)
+            t0 = time.perf_counter()
+            res = run_checks(seq, default_suite(allowed))
+            n_v = res.verdicts.count()
+            n_viol = res.violations.count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            rows[name] = n_v + n_viol
+            n_seq = seq.count()
+            continue
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        rows[name] = fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rows": rows,
+    }
+    if n_seq and timings.get("check_suite"):
+        out["validated_seq_per_sec"] = round(n_seq / timings["check_suite"], 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
