@@ -404,24 +404,49 @@ _DISPATCH = {
 
 
 def run_checks(df: DataFrame, checks: Iterable[Check],
-               partition_col: str = "source") -> CheckResult:
+               partition_col: str = "source", fuse: bool = True) -> CheckResult:
     """Run a suite of checks; union the per-check verdict/violation frames.
 
-    The input is persisted for the duration of the suite (every check scans
+    With ``fuse=True`` (default), aggregate-style checks execute on the fused
+    two-scan path (checks/fused.py): one groupBy pass computes every
+    per-partition aggregate, one filter pass emits every row-level violation —
+    at 100 TB this is the difference between 2 and 7+ full table scans. Checks
+    whose semantics need their own shuffle (``unique``, ``drift_ks``,
+    ``token_invariant``) or carry DataFrame-valued params keep per-check plans.
+
+    The input is persisted for the duration of the suite (every pass scans
     it) — the reference's equivalent was its materialized ``history`` cache
     table (/root/reference/data_processing/detector.py:112-146).
     """
+    from pyanomalydetector_spark.checks.fused import run_fused, split_fusible
+
     spark = df.sparkSession
     df = df.persist()
-    verdicts = _empty(spark, VERDICT_SCHEMA)
-    violations = _empty(spark, VIOLATION_SCHEMA)
-    for check in checks:
+    checks = list(checks)
+    verdict_frames: list[DataFrame] = []
+    violation_frames: list[DataFrame] = []
+
+    fused, rest = split_fusible(checks) if fuse else ([], checks)
+    if len(fused) < 2:          # fusion only pays when scans are shared
+        rest, fused = checks, []
+    if fused:
+        v, w = run_fused(df, fused, partition_col)
+        verdict_frames += v
+        violation_frames += w
+    for check in rest:
         fn = _DISPATCH.get(check.kind)
         if fn is None:
             raise ValueError(f"unknown check kind {check.kind!r}")
         res = fn(df, check, partition_col)
-        verdicts = verdicts.unionByName(res.verdicts)
-        violations = violations.unionByName(res.violations)
+        verdict_frames.append(res.verdicts)
+        violation_frames.append(res.violations)
+
+    verdicts = _empty(spark, VERDICT_SCHEMA)
+    for v in verdict_frames:
+        verdicts = verdicts.unionByName(v)
+    violations = _empty(spark, VIOLATION_SCHEMA)
+    for v in violation_frames:
+        violations = violations.unionByName(v)
     return CheckResult(verdicts, violations)
 
 

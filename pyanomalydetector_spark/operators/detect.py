@@ -217,7 +217,10 @@ def detect3(history_df: DataFrame, trends_df: DataFrame,
                                   density_window, lam1, rate, True)
     a_dw = _filter_anomal_history(history_df, env_dw, stats_dw, hist_count,
                                   density_window, lam1, rate, False)
-    stage_a = a_up.union(a_dw).distinct()
+    # stage_a feeds both the final union and the stage-B anti-join; checkpoint
+    # so its (join+window)-heavy subtree runs once and the stage-B plans don't
+    # re-embed it (lineage control, see detect_cascade).
+    stage_a = a_up.union(a_dw).distinct().localCheckpoint()
 
     hist2 = history_df.join(stage_a, "itemid", "left_anti") \
                       .filter(F.col("clock") >= startep2)
@@ -239,17 +242,30 @@ def detect_cascade(history_df: DataFrame, trends_df: DataFrame,
     ``history_df``: short recent window; ``recent_df``: the detect2/3 recent
     slice; ``trends_df``: envelope rollup.
     """
+    # Stage boundaries are materialized with localCheckpoint(): survivor key
+    # sets are consumed 2-3× each (early-exit probe + two joins) and, more
+    # importantly, the cascade's lineage otherwise grows multiplicatively —
+    # detect3's four branches each re-embed the detect1+detect2 subtrees and
+    # Catalyst/AQE replanning time explodes (measured 82 s → 5 s at sf0.01 by
+    # truncating here). This is the Spark analog of the reference's
+    # materialized ``history`` cache (detector.py:112-146) and the standard
+    # lineage-control pattern for iterative algorithms.
+    same_recent = recent_df is history_df
+    trends_df = trends_df.localCheckpoint()
+    history_df = history_df.localCheckpoint()
+    recent_df = history_df if same_recent else recent_df.localCheckpoint()
+
     s1 = detect1(history_df, trends_df.select(
-        "itemid", "clock", F.col("value_avg").alias("value")), cfg)
+        "itemid", "clock", F.col("value_avg").alias("value")), cfg).localCheckpoint()
     if s1.isEmpty():
         return s1
 
     h2 = recent_df.join(s1, "itemid")  # left_semi by key set
     t2 = trends_df.join(s1, "itemid")
-    s2 = detect2(h2, t2, cfg)
+    s2 = detect2(h2, t2, cfg).localCheckpoint()
     if s2.isEmpty():
         return s2
 
-    h3 = recent_df.join(s2, "itemid")
-    t3 = trends_df.join(s2, "itemid")
+    h3 = recent_df.join(s2, "itemid").localCheckpoint()
+    t3 = trends_df.join(s2, "itemid").localCheckpoint()
     return detect3(h3, t3, hist_count, hist_count2, startep2, cfg)

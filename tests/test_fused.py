@@ -1,0 +1,51 @@
+"""Fused check execution ≡ per-check execution (checks/fused.py contract)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyanomalydetector_spark.sources.sequences import load_sequences
+from pyanomalydetector_spark.checks.core import Check, run_checks, default_suite
+
+
+@pytest.fixture(scope="module")
+def seq(spark, sf_dir):
+    return load_sequences(spark, sf_dir).persist()
+
+
+def _allowed(seq):
+    return sorted(r["source"] for r in seq.select("source").distinct()
+                  .filter(F.col("source").rlike("^src[0-9]+$")).collect())
+
+
+def _norm_verdicts(df):
+    return sorted(
+        (r["partition_id"], r["check_id"], r["passed"],
+         round(r["observed"], 6) if r["observed"] is not None else None,
+         round(r["expected"], 6) if r["expected"] is not None else None,
+         round(r["threshold"], 6) if r["threshold"] is not None else None,
+         r["n_violations"], r["rows_scanned"])
+        for r in df.collect())
+
+
+def _norm_violations(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fused_equals_per_check(seq):
+    suite = default_suite(_allowed(seq))
+    fused = run_checks(seq, suite, fuse=True)
+    plain = run_checks(seq, suite, fuse=False)
+    assert _norm_verdicts(fused.verdicts) == _norm_verdicts(plain.verdicts)
+    assert _norm_violations(fused.violations) == _norm_violations(plain.violations)
+
+
+def test_fused_zscore_failing_partition_emits_row_violations(seq):
+    # force a failure: tiny lambda so every partition's mean deviates
+    suite = [Check("z", "zscore_threshold",
+                   {"value_col": "n_tok", "lambda": 0.01,
+                    "ignore_diff_rate": 0.0}),
+             Check("stats", "column_stats", {"value_col": "n_tok"})]
+    fused = run_checks(seq, suite, fuse=True)
+    plain = run_checks(seq, suite, fuse=False)
+    assert _norm_violations(fused.violations) == _norm_violations(plain.violations)
+    assert fused.violations.count() > 0
