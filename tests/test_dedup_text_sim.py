@@ -1,0 +1,144 @@
+"""Training-data pipeline operators: dedup, text analysis, similarity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyanomalydetector_spark.sources.tables import load_table
+from pyanomalydetector_spark.sources.sequences import load_sequences, DUP_MOD
+from pyanomalydetector_spark.operators.dedup import (
+    exact_duplicate_groups, jaccard_pairs, minhash_dedup_pairs,
+    shingles, simhash, simhash_pairs,
+)
+from pyanomalydetector_spark.operators.text import (
+    token_counts, quality_scores, language_id, fingerprints,
+)
+from pyanomalydetector_spark.operators.similarity import (
+    cosine_topk, ivf_topk, centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").persist()
+
+
+def test_exact_dedup_finds_injected_token_dups(spark, sf_dir):
+    seq = load_sequences(spark, sf_dir)
+    got = exact_duplicate_groups(seq, ["tokens"]).collect()
+    # every injected dup (doc_id % DUP_MOD == 0) duplicates its own row
+    assert all(r["doc_id"] == r["canonical_id"] and r["group_cnt"] >= 2
+               for r in got)
+    ids = {int(r["doc_id"].split("-")[1]) for r in got}
+    assert ids and all(i % DUP_MOD == 0 for i in ids)
+
+
+def test_minhash_lsh_equals_brute_force(docs):
+    brute = {(r["d1"], r["d2"]) for r in
+             jaccard_pairs(docs, k=3, threshold=0.8).collect()}
+    lsh = {(r["d1"], r["d2"]) for r in
+           minhash_dedup_pairs(docs, k=3, threshold=0.8).collect()}
+    assert lsh == brute
+    assert brute  # fixture has injected near-dups
+
+
+def test_shingles_short_doc_empty(spark):
+    d = spark.createDataFrame([(1, "one two"), (2, "a b c d")],
+                              "doc_id long, text string")
+    got = shingles(d, k=3).groupBy("doc_id").count().collect()
+    assert {r["doc_id"]: r["count"] for r in got} == {2: 2}
+
+
+def test_simhash_near_dups_have_small_hamming(docs):
+    # near-dup pairs by jaccard should also be simhash-close
+    jac = jaccard_pairs(docs, k=3, threshold=0.9)
+    sh = simhash(docs)
+    a = sh.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("f1"))
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("f2"))
+    j = jac.join(a, "d1").join(b, "d2").select(
+        F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))).alias("ham"))
+    hams = [r["ham"] for r in j.collect()]
+    assert hams and max(hams) <= 6
+
+
+def test_simhash_banding_complete(docs):
+    """Pigeonhole banding must find every pair within the hamming budget."""
+    got = {(r["d1"], r["d2"]): r["hamming"]
+           for r in simhash_pairs(docs, max_hamming=2).collect()}
+    sh = simhash(docs)
+    a = sh.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("f1"))
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("f2"))
+    brute = a.crossJoin(b).filter(F.col("d1") < F.col("d2")).select(
+        "d1", "d2",
+        F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))).alias("ham"))
+    expected = {(r["d1"], r["d2"]): r["ham"]
+                for r in brute.filter(F.col("ham") <= 2).collect()}
+    assert got == expected
+
+
+def test_token_counts_and_quality_sane(docs):
+    tc = token_counts(docs).collect()
+    assert all(r["n_words"] > 0 and r["n_bpe"] >= r["n_words"] - 1 >= 0
+               for r in tc)
+    q = quality_scores(docs).collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in q)
+    assert all(r["punct_ratio"] is not None and 0 <= r["punct_ratio"] < 1
+               for r in q)
+
+
+def test_language_id_deterministic_votes(spark):
+    d = spark.createDataFrame(
+        [(1, "the cat and the hat of the house"),
+         (2, "el perro y la casa de los gatos"),
+         (3, "xyzzy qwerty plugh")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(d).collect()}
+    assert got == {1: "en", 2: "es", 3: "und"}
+
+
+def test_fingerprint_stable_under_distant_edit(spark):
+    # fingerprint = min window hash; an edit far from the minimizing window
+    # leaves it unchanged
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    d = spark.createDataFrame([(1, base), (2, base + " EDITED TAIL")],
+                              "doc_id long, text string")
+    fps = {r["doc_id"]: r["fingerprint"] for r in fingerprints(d).collect()}
+    # identical unless the edit introduced a smaller window hash
+    assert fps[1] >= min(fps.values())
+    d3 = spark.createDataFrame([(9, "short")], "doc_id long, text string")
+    assert fingerprints(d3).collect()[0]["fingerprint"] is not None
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(emb):
+    """Probing every cell must reproduce the exact top-k (the approximation
+    is *only* the probe restriction)."""
+    qids = list(range(8))
+    brute = {(r["q_id"], r["vec_id"], round(r["cos_sim"], 6))
+             for r in cosine_topk(emb, qids, k=5).collect()}
+    full = {(r["q_id"], r["vec_id"], round(r["cos_sim"], 6))
+            for r in ivf_topk(emb, qids, k=5, n_probe=10).collect()}
+    assert full == brute
+
+
+def test_ivf_partial_probe_shape(emb):
+    qids = list(range(8))
+    rows = ivf_topk(emb, qids, k=5, n_probe=3).collect()
+    assert len(rows) == len(qids) * 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] != q for r in rs)
+
+
+def test_centroids_shape(emb):
+    c = centroids(emb).collect()
+    labels = {r["label"] for r in c}
+    assert labels == set(range(10))
+    assert all(len(r["centroid"]) == 64 for r in c)
