@@ -387,6 +387,62 @@ def _q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank"))
 
 
+# -------------------------------- stateful / driver-final ops (rows-only) ----
+
+def _q_ev_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage DBSCAN grouping of cascade survivors (M1-M6; driver-final
+    over the small violation set — rows-only check)."""
+    from pyanomalydetector_spark.operators.cluster import classify_series
+    cfg = DetectorConfig(detect1_lambda_threshold=1.0,
+                         detect2_lambda_threshold=1.0,
+                         detect3_lambda_threshold1=1.5,
+                         detect3_lambda_threshold2=1.0,
+                         ignore_diff_rate=0.01,
+                         anomaly_valid_count_rate=0.001)
+    survivors = [r["itemid"] for r in
+                 detect_pipeline(spark, sf_dir, cfg).collect()]
+    hist, _ = _hist_trend(spark, sf_dir)
+    return classify_series(hist, survivors, sigma=2.0, eps1=0.9, eps2=0.7) \
+        .select(F.col("itemid").cast("bigint"), F.col("clusterid").cast("bigint"))
+
+
+def _q_seq_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable checkpointed run (stateful: skip-done + pinned baseline +
+    lineage — rows-only check). Runs half the partitions, then resumes."""
+    import tempfile
+    from pyanomalydetector_spark.plans.checkpoint import (
+        CheckpointStore, run_with_checkpoint,
+    )
+    seq = load_sequences(spark, sf_dir)
+    suite = default_suite(_allowed_sources(seq))
+    parts = sorted(r["source"] for r in seq.select("source").distinct().collect())
+    store = CheckpointStore(spark, tempfile.mkdtemp(prefix="ckpt_q_"))
+    run_with_checkpoint(seq.filter(F.col("source").isin(parts[: len(parts) // 2])),
+                        suite, store)
+    res = run_with_checkpoint(seq, suite, store)
+    return res.verdicts.select(
+        "partition_id", "check_id",
+        F.col("passed").cast("int").alias("passed"),
+        F.round("observed", 6).alias("observed"),
+        F.col("n_violations").cast("bigint").alias("n_violations"))
+
+
+def _q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media feature extraction (mapInPandas plumbing with a
+    deterministic decode stub — rows-only check)."""
+    from pyanomalydetector_spark.operators.multimodal import (
+        synthesize_media, decode_features,
+    )
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    out = decode_features(media, dim=16)
+    return out.select(
+        F.col("media_id").cast("bigint"), "media_type",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"), "digest",
+        F.round(F.aggregate("features", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 6)
+         .alias("feat_sum"))
+
+
 # --------------------------------------------- relational op coverage ----
 
 def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,6 +532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_cosine_pairs": _q_emb_cosine_pairs,
         "emb_ann_ivf": _q_emb_ann_ivf,
+        "ev_cluster": _q_ev_cluster,
+        "seq_checkpoint_resume": _q_seq_checkpoint_resume,
+        "mm_decode_features": _q_mm_decode_features,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "catalog_join": _q_catalog_join,
         "orders_anti_join": _q_orders_anti_join,

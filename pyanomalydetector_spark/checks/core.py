@@ -152,8 +152,12 @@ def _check_zscore_threshold(df: DataFrame, check: Check, pcol: str) -> CheckResu
     lam = float(check.params.get("lambda", 2.0))
     ignore_diff_rate = float(check.params.get("ignore_diff_rate", 0.0))
     baseline = check.params.get("baseline")  # optional DataFrame(mean, std)
+    scalars = check.params.get("baseline_scalars")  # pinned {mean, std}
 
-    if baseline is None:
+    if scalars is not None:
+        baseline = df.sparkSession.createDataFrame(
+            [(float(scalars["mean"]), float(scalars["std"]))], "mean double, std double")
+    elif baseline is None:
         baseline = finalize_mean_std(
             sufficient_stats(df.select(F.lit("all").alias("_g"), value_col),
                              ["_g"], value_col)).select("mean", "std")
@@ -368,12 +372,24 @@ def _check_drift(df: DataFrame, check: Check, pcol: str, stat: str) -> CheckResu
     baseline = check.params.get("baseline")  # optional raw DataFrame
 
     if stat == "psi":
-        scored = psi_by_partition(df, pcol, value_col,
-                                  n_buckets=int(check.params.get("buckets", 10)),
-                                  baseline=baseline)
+        pinned = check.params.get("pinned_hist")
+        if pinned is not None:
+            from pyanomalydetector_spark.checks.drift import psi_by_partition_pinned
+            scored = psi_by_partition_pinned(
+                df, pcol, value_col, pinned["lo"], pinned["hi"],
+                pinned["counts"], pinned["n_base"])
+        else:
+            scored = psi_by_partition(df, pcol, value_col,
+                                      n_buckets=int(check.params.get("buckets", 10)),
+                                      baseline=baseline)
         obs = "psi"
     else:
-        scored = ks_by_partition(df, pcol, value_col, baseline=baseline)
+        base_counts = check.params.get("baseline_counts")
+        if base_counts is not None:
+            from pyanomalydetector_spark.checks.drift import ks_by_partition_counts
+            scored = ks_by_partition_counts(df, pcol, value_col, base_counts)
+        else:
+            scored = ks_by_partition(df, pcol, value_col, baseline=baseline)
         obs = "ks_d"
 
     rows = _rows_per_partition(df, pcol)

@@ -123,3 +123,68 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
               .groupBy("partition_id")
               .agg(F.max("d").alias("ks_d"))
     )
+
+
+def psi_by_partition_pinned(df: DataFrame, partition_col: str, value_col: str,
+                            lo: float, hi: float, base_counts: list[float],
+                            n_base: float) -> DataFrame:
+    """PSI against a *pinned* histogram baseline (checkpoint/resume path).
+
+    ``base_counts[b]`` are the baseline bucket counts over [lo, hi] fixed-width
+    buckets; the partition histogram is computed in one conditional-sum
+    groupBy (no second scan, no baseline scan at all). Identical math to
+    :func:`psi_by_partition` when the pinned values came from the same data.
+    """
+    nb = len(base_counts)
+    v = F.col(value_col).cast("double")
+    if hi == lo:
+        bucket = F.lit(0)
+    else:
+        raw = F.floor((v - F.lit(lo)) / F.lit((hi - lo) / nb))
+        bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1))
+    aggs = [F.sum(F.when(bucket == b, 1).otherwise(0)).alias(f"b{b}")
+            for b in range(nb)]
+    part = df.groupBy(F.col(partition_col).alias("partition_id")).agg(*aggs)
+
+    n_p = sum((F.col(f"b{b}") for b in range(1, nb)), F.col("b0"))
+    terms = []
+    for b in range(nb):
+        p = (F.col(f"b{b}") + F.lit(PSI_SMOOTH)) / (n_p + F.lit(PSI_SMOOTH * nb))
+        q = F.lit((base_counts[b] + PSI_SMOOTH) / (n_base + PSI_SMOOTH * nb))
+        terms.append((p - q) * F.log(p / q))
+    psi = sum(terms[1:], terms[0])
+    return part.select("partition_id", psi.alias("psi"))
+
+
+def ks_by_partition_counts(df: DataFrame, partition_col: str, value_col: str,
+                           base_counts: DataFrame) -> DataFrame:
+    """KS-D against pinned baseline *value counts* ``(v, c_b)``.
+
+    Same grid construction as :func:`ks_by_partition` but the baseline side is
+    the stored count table (bounded by #distinct values), not raw rows —
+    the checkpointable form.
+    """
+    v = F.col(value_col).cast("double").alias("v")
+    values = base_counts.select("v").union(df.select(v)).distinct()
+    parts = df.select(F.col(partition_col).alias("partition_id")).distinct()
+    grid = parts.crossJoin(values)
+
+    part_counts = (
+        df.select(F.col(partition_col).alias("partition_id"), v)
+          .groupBy("partition_id", "v").agg(F.count(F.lit(1)).alias("c_p"))
+    )
+    joined = (
+        grid.join(part_counts, ["partition_id", "v"], "left")
+            .join(F.broadcast(base_counts), ["v"], "left")
+            .na.fill({"c_p": 0, "c_b": 0})
+    )
+    w_cum = Window.partitionBy("partition_id").orderBy("v") \
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_tot = Window.partitionBy("partition_id")
+    cdf_p = F.sum("c_p").over(w_cum) / F.sum("c_p").over(w_tot)
+    cdf_b = F.sum("c_b").over(w_cum) / F.sum("c_b").over(w_tot)
+    return (
+        joined.withColumn("d", F.abs(cdf_p - cdf_b))
+              .groupBy("partition_id")
+              .agg(F.max("d").alias("ks_d"))
+    )

@@ -99,18 +99,26 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
     spark = df.sparkSession
 
     # ---- pass 0: PSI bucket bounds (column-pruned tiny scan) ---------------
+    # checks carrying a pinned histogram (checkpoint/resume path) supply
+    # their bounds; only unpinned PSI checks need the min/max pre-pass.
     psi_checks = [c for c in checks if c.kind == "drift_psi"]
     bounds: dict[str, tuple[float, float]] = {}
-    if psi_checks:
+    need_scan: list[str] = []
+    for c in psi_checks:
+        vc = c.params.get("value_col", "n_tok")
+        pinned = c.params.get("pinned_hist")
+        if pinned is not None:
+            bounds[vc] = (float(pinned["lo"]), float(pinned["hi"]))
+        elif vc not in bounds:
+            bounds[vc] = (0.0, 0.0)
+            need_scan.append(vc)
+    if need_scan:
         exprs = []
-        for c in psi_checks:
-            vc = c.params.get("value_col", "n_tok")
-            if vc not in bounds:
-                bounds[vc] = (0.0, 0.0)
-                v = F.col(vc).cast("double")
-                exprs += [F.min(v).alias(f"lo_{vc}"), F.max(v).alias(f"hi_{vc}")]
+        for vc in need_scan:
+            v = F.col(vc).cast("double")
+            exprs += [F.min(v).alias(f"lo_{vc}"), F.max(v).alias(f"hi_{vc}")]
         row = df.agg(*exprs).collect()[0]
-        for vc in list(bounds):
+        for vc in need_scan:
             bounds[vc] = (float(row[f"lo_{vc}"]), float(row[f"hi_{vc}"]))
 
     # ---- pass 1: the single fused per-partition aggregate ------------------
@@ -185,13 +193,17 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
             lam = float(p.get("lambda", 2.0))
             rate = float(p.get("ignore_diff_rate", 0.0))
             mtag = f"m_{vc}"
-            # global mean/std with finalize semantics, from summed moments
-            gs, gq, gc = (float(globals_row[f"g_{mtag}_sum"] or 0.0),
-                          float(globals_row[f"g_{mtag}_sqr"] or 0.0),
-                          int(globals_row[f"g_{mtag}_cnt"] or 0))
-            mean_t = gs / gc if gc > 0 else 0.0
-            var = ((gq - gs * gs / gc) / (gc - 1)) if gc > 1 else 0.0
-            std_t = var ** 0.5 if var > 0 else 0.0
+            scalars = p.get("baseline_scalars")
+            if scalars is not None:          # pinned baseline (resume path)
+                mean_t, std_t = float(scalars["mean"]), float(scalars["std"])
+            else:
+                # global mean/std with finalize semantics, from summed moments
+                gs, gq, gc = (float(globals_row[f"g_{mtag}_sum"] or 0.0),
+                              float(globals_row[f"g_{mtag}_sqr"] or 0.0),
+                              int(globals_row[f"g_{mtag}_cnt"] or 0))
+                mean_t = gs / gc if gc > 0 else 0.0
+                var = ((gq - gs * gs / gc) / (gc - 1)) if gc > 1 else 0.0
+                std_t = var ** 0.5 if var > 0 else 0.0
             mean_h, _ = _finalized(mtag)
             dev = F.abs(mean_h - F.lit(mean_t))
             fail = (dev > F.lit(lam * std_t)) & F.lit(mean_t > 0) & \
@@ -249,12 +261,19 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
         elif c.kind == "drift_psi":
             nb = int(p.get("buckets", 10))
             threshold = float(p.get("threshold", 0.2))
-            n_base = float(globals_row["g_rows"])
+            pinned = p.get("pinned_hist")
+            if pinned is not None:
+                n_base = float(pinned["n_base"])
+                base_counts = [float(x) for x in pinned["counts"]]
+            else:
+                n_base = float(globals_row["g_rows"])
+                base_counts = [float(globals_row[f"g_{tag}_b{b}"] or 0)
+                               for b in range(nb)]
             n_p = sum((F.col(f"{tag}_b{b}") for b in range(1, nb)),
                       F.col(f"{tag}_b0"))
             terms = []
             for b in range(nb):
-                c_b = float(globals_row[f"g_{tag}_b{b}"] or 0)
+                c_b = base_counts[b]
                 pp = (F.col(f"{tag}_b{b}") + F.lit(PSI_SMOOTH)) / \
                      (n_p + F.lit(PSI_SMOOTH * nb))
                 qq = F.lit((c_b + PSI_SMOOTH) / (n_base + PSI_SMOOTH * nb))

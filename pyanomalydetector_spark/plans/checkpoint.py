@@ -1,0 +1,282 @@
+"""Checkpoint/resume with per-partition lineage — the north-rule T1-T4 recast.
+
+The reference checkpoints progress in watermark tables
+(/root/reference/models/updates.py:10-28) so every run is resumable and
+incremental, and truncates state when the gap is too large or config changed
+(/root/reference/data_processing/detector.py:88-92). This module provides the
+same guarantees for the check-suite engine:
+
+- ``CheckpointStore``: a partition-keyed state table carrying per-partition
+  lineage — ``(partition_id, suite_hash, snapshot_id, rows_scanned,
+  stat_digest, n_failed, t_ms, run_id)``. In production this is an Iceberg
+  table maintained with ``MERGE INTO``; in this sandbox it is an
+  append-parquet directory with latest-run-wins read semantics (same
+  idempotency contract: re-running a crashed run re-merges the same keys).
+- **Pinned baselines**: global-baseline checks (z-score, PSI, KS) must
+  compare against the baseline captured when the suite was first run,
+  otherwise "incremental result ≡ from-scratch recompute" breaks. On first
+  run the store captures global moments / histogram / value-counts; resumed
+  runs re-pin the stored baseline into the suite.
+- **Skip-done**: partitions already verdicted under the same
+  ``(suite_hash, snapshot_id)`` are filtered out *before* the scan — an
+  ``isin``/anti filter on the partition column that Catalyst pushes into
+  partition pruning, so resumed runs do not touch completed partitions' data.
+- **Gap reset**: a changed suite (different ``suite_hash``) or changed input
+  (different ``snapshot_id``) invalidates all prior state, mirroring the
+  reference's truncate-and-recompute rule.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyanomalydetector_spark.checks.core import (
+    Check, CheckResult, run_checks, VERDICT_SCHEMA, VIOLATION_SCHEMA,
+)
+from pyanomalydetector_spark.functions.stats import (
+    sufficient_stats, finalize_mean_std,
+)
+
+CKPT_SCHEMA = ("partition_id string, suite_hash string, snapshot_id string, "
+               "rows_scanned long, stat_digest long, n_failed long, "
+               "t_ms double, run_id long")
+
+
+def suite_hash(checks: list[Check]) -> str:
+    """Stable digest of the suite definition (scalar params only)."""
+    def scalarize(v):
+        if isinstance(v, (str, int, float, bool)) or v is None:
+            return v
+        if isinstance(v, (list, tuple)):
+            return [scalarize(x) for x in v]
+        if isinstance(v, dict):
+            return {k: scalarize(x) for k, x in sorted(v.items())}
+        return f"<{type(v).__name__}>"
+    payload = [(c.check_id, c.kind,
+                {k: scalarize(v) for k, v in sorted(c.params.items())})
+               for c in checks]
+    return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def snapshot_id_for_dir(path: str) -> str:
+    """Input identity from file listing (name, size, mtime) — the sandbox
+    stand-in for an Iceberg snapshot id."""
+    entries = []
+    for root, _, files in os.walk(path):
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            entries.append((os.path.relpath(os.path.join(root, f), path),
+                            st.st_size, int(st.st_mtime)))
+    return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:16]
+
+
+@dataclass
+class PinnedBaseline:
+    """Engine-portable scalars + bounded count tables captured at first run."""
+    moments: dict = field(default_factory=dict)   # value_col -> {mean, std}
+    psi: dict = field(default_factory=dict)       # value_col -> {lo, hi, counts, n_base}
+    ks_value_cols: list = field(default_factory=list)  # stored as parquet
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.ckpt_dir = os.path.join(path, "checkpoint")
+        self.verdicts_dir = os.path.join(path, "verdicts")
+        self.violations_dir = os.path.join(path, "violations")
+        self.baseline_json = os.path.join(path, "baseline.json")
+        self.ks_dir = os.path.join(path, "ks_baseline")
+        os.makedirs(path, exist_ok=True)
+
+    # -------------------------------------------------------- state table ---
+    def read_checkpoint(self) -> DataFrame:
+        if not os.path.isdir(self.ckpt_dir):
+            return self.spark.createDataFrame([], CKPT_SCHEMA)
+        df = self.spark.read.parquet(self.ckpt_dir)
+        w = Window.partitionBy("partition_id").orderBy(F.desc("run_id"))
+        return df.withColumn("_rn", F.row_number().over(w)) \
+                 .filter(F.col("_rn") == 1).drop("_rn")
+
+    def done_partitions(self, shash: str, snap: str) -> list[str]:
+        return [r["partition_id"] for r in
+                self.read_checkpoint()
+                    .filter((F.col("suite_hash") == shash)
+                            & (F.col("snapshot_id") == snap))
+                    .select("partition_id").collect()]
+
+    def merge(self, rows: DataFrame) -> None:
+        rows.write.mode("append").parquet(self.ckpt_dir)
+
+    # ----------------------------------------------------------- baseline ---
+    def save_baseline(self, shash: str, snap: str, bl: PinnedBaseline,
+                      ks_counts: dict[str, DataFrame]) -> None:
+        with open(self.baseline_json, "w") as f:
+            json.dump({"suite_hash": shash, "snapshot_id": snap,
+                       "moments": bl.moments, "psi": bl.psi,
+                       "ks_value_cols": bl.ks_value_cols}, f)
+        for vc, df in ks_counts.items():
+            df.write.mode("overwrite").parquet(os.path.join(self.ks_dir, vc))
+
+    def load_baseline(self, shash: str, snap: str) -> PinnedBaseline | None:
+        if not os.path.exists(self.baseline_json):
+            return None
+        with open(self.baseline_json) as f:
+            d = json.load(f)
+        if d["suite_hash"] != shash or d["snapshot_id"] != snap:
+            return None
+        return PinnedBaseline(d["moments"], d["psi"], d["ks_value_cols"])
+
+    def ks_counts(self, value_col: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.ks_dir, value_col))
+
+    # ------------------------------------------------------------ results ---
+    def _read_results(self, directory: str, schema, shash: str, snap: str) -> DataFrame:
+        if not os.path.isdir(directory):
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(directory) \
+                 .filter((F.col("suite_hash") == shash)
+                         & (F.col("snapshot_id") == snap))
+        # latest run wins per (partition, check) — but keep ALL of that run's
+        # rows (duplicate violation rows are legitimate: one per physical row)
+        w = Window.partitionBy("partition_id", "check_id")
+        return (df.withColumn("_mx", F.max("run_id").over(w))
+                  .filter(F.col("run_id") == F.col("_mx"))
+                  .drop("_mx", "suite_hash", "snapshot_id", "run_id"))
+
+    def read_verdicts(self, shash: str, snap: str) -> DataFrame:
+        return self._read_results(self.verdicts_dir, VERDICT_SCHEMA, shash, snap)
+
+    def read_violations(self, shash: str, snap: str) -> DataFrame:
+        return self._read_results(self.violations_dir, VIOLATION_SCHEMA, shash, snap)
+
+
+# ---------------------------------------------------------------- baseline ---
+
+def compute_baseline(df: DataFrame, checks: list[Check]) -> tuple[PinnedBaseline, dict]:
+    """Capture every global baseline the suite's checks need (one pass each,
+    all tiny outputs)."""
+    bl = PinnedBaseline()
+    ks_counts: dict[str, DataFrame] = {}
+    for c in checks:
+        vc = c.params.get("value_col", "n_tok")
+        if c.kind == "zscore_threshold" and vc not in bl.moments:
+            row = finalize_mean_std(sufficient_stats(
+                df.select(F.lit("all").alias("_g"), vc), ["_g"], vc)) \
+                .select("mean", "std").collect()[0]
+            bl.moments[vc] = {"mean": float(row["mean"]), "std": float(row["std"])}
+        elif c.kind == "drift_psi" and vc not in bl.psi:
+            nb = int(c.params.get("buckets", 10))
+            v = F.col(vc).cast("double")
+            b = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi"),
+                       F.count(F.lit(1)).alias("n")).collect()[0]
+            lo, hi = float(b["lo"]), float(b["hi"])
+            if hi == lo:
+                bucket = F.lit(0)
+            else:
+                raw = F.floor((v - F.lit(lo)) / F.lit((hi - lo) / nb))
+                bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1))
+            counts = {r["b"]: r["c"] for r in
+                      df.groupBy(bucket.alias("b"))
+                        .agg(F.count(F.lit(1)).alias("c")).collect()}
+            bl.psi[vc] = {"lo": lo, "hi": hi,
+                          "counts": [float(counts.get(i, 0)) for i in range(nb)],
+                          "n_base": float(b["n"])}
+        elif c.kind == "drift_ks" and vc not in bl.ks_value_cols:
+            bl.ks_value_cols.append(vc)
+            ks_counts[vc] = df.select(F.col(vc).cast("double").alias("v")) \
+                              .groupBy("v").agg(F.count(F.lit(1)).alias("c_b"))
+    return bl, ks_counts
+
+
+def pin_suite(checks: list[Check], bl: PinnedBaseline,
+              store: CheckpointStore) -> list[Check]:
+    """Rewrite baseline-dependent checks to use the pinned baseline."""
+    pinned = []
+    for c in checks:
+        vc = c.params.get("value_col", "n_tok")
+        if c.kind == "zscore_threshold" and vc in bl.moments:
+            pinned.append(Check(c.check_id, c.kind,
+                                {**c.params, "baseline_scalars": bl.moments[vc]}))
+        elif c.kind == "drift_psi" and vc in bl.psi:
+            pinned.append(Check(c.check_id, c.kind,
+                                {**c.params, "pinned_hist": bl.psi[vc]}))
+        elif c.kind == "drift_ks" and vc in bl.ks_value_cols:
+            pinned.append(Check(c.check_id, c.kind,
+                                {**c.params,
+                                 "baseline_counts": store.ks_counts(vc)}))
+        else:
+            pinned.append(c)
+    return pinned
+
+
+# --------------------------------------------------------------- run loop ---
+
+def run_with_checkpoint(df: DataFrame, checks: list[Check],
+                        store: CheckpointStore, partition_col: str = "source",
+                        snapshot_id: str = "static") -> CheckResult:
+    """Resumable check-suite run: skip-done partitions, pinned baselines,
+    per-partition lineage rows merged into the checkpoint.
+
+    Returns the union of all verdicts/violations for the current
+    ``(suite_hash, snapshot_id)`` — identical to a from-scratch run
+    (asserted in tests/test_checkpoint.py).
+    """
+    spark = df.sparkSession
+    shash = suite_hash(checks)
+    run_id = time.time_ns()
+
+    bl = store.load_baseline(shash, snapshot_id)
+    if bl is None:
+        bl, ks_counts = compute_baseline(df, checks)
+        store.save_baseline(shash, snapshot_id, bl, ks_counts)
+    pinned = pin_suite(checks, bl, store)
+
+    done = store.done_partitions(shash, snapshot_id)
+    pending_df = df.filter(~F.col(partition_col).isin(done)) if done else df
+
+    all_parts = {r[0] for r in df.select(partition_col).distinct().collect()}
+    if all_parts - set(done):
+        t0 = time.perf_counter()
+        res = run_checks(pending_df, pinned, partition_col)
+        verdicts = res.verdicts.localCheckpoint()
+        violations = res.violations.localCheckpoint()
+        t_ms = (time.perf_counter() - t0) * 1000.0
+
+        meta = [F.lit(shash).alias("suite_hash"),
+                F.lit(snapshot_id).alias("snapshot_id"),
+                F.lit(run_id).alias("run_id")]
+        verdicts.select("*", *meta).write.mode("append").parquet(store.verdicts_dir)
+        violations.select("*", *meta).write.mode("append").parquet(store.violations_dir)
+
+        # per-partition lineage: digest over the partition's sorted verdicts
+        digest = verdicts.groupBy("partition_id").agg(
+            F.xxhash64(F.concat_ws("|", F.array_sort(F.collect_list(
+                F.concat_ws(":", "check_id", F.col("passed").cast("string"),
+                            F.round("observed", 6).cast("string"),
+                            F.col("n_violations").cast("string"))))))
+             .alias("stat_digest"),
+            F.max("rows_scanned").alias("rows_scanned"),
+            F.sum(F.when(~F.col("passed"), 1).otherwise(0)).alias("n_failed"),
+        )
+        ckpt_rows = digest.select(
+            "partition_id",
+            F.lit(shash).alias("suite_hash"),
+            F.lit(snapshot_id).alias("snapshot_id"),
+            F.col("rows_scanned").cast("long"),
+            F.col("stat_digest").cast("long"),
+            F.col("n_failed").cast("long"),
+            F.lit(t_ms).alias("t_ms"),
+            F.lit(run_id).alias("run_id"),
+        )
+        store.merge(ckpt_rows)
+
+    return CheckResult(store.read_verdicts(shash, snapshot_id),
+                       store.read_violations(shash, snapshot_id))
