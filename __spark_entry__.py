@@ -387,6 +387,40 @@ def _q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank"))
 
 
+def _q_ev_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: declarative per-item conditions (detector.py:167-270 semantics) —
+    items matching a catalog filter must satisfy a metric threshold."""
+    from pyanomalydetector_spark.operators.conditions import (
+        Condition, apply_conditions,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    m = events_metrics(spark, sf_dir)
+    catalog = ev.groupBy(F.col("user_id").alias("itemid")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"))
+    stats = m.groupBy("itemid").agg(
+        F.avg("value").alias("mean"),
+        F.coalesce(F.stddev_samp("value"), F.lit(0.0)).alias("std"))
+    conds = [Condition("n_events > 66", "mean", ">", 48.0),
+             Condition("max_value < 222", "std", "<", 47.5)]
+    return apply_conditions(stats, catalog, conds) \
+        .select(F.col("itemid").cast("bigint").alias("itemid"))
+
+
+def _q_seq_column_stats_welford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3 via the Welford/Chan Arrow UDAF (north-star mandated path);
+    identical contract to seq_column_stats, so the same oracle applies."""
+    from pyanomalydetector_spark.functions.stats import welford_stats
+    seq = load_sequences(spark, sf_dir)
+    out = welford_stats(seq, ["source"], "n_tok")
+    return out.select(
+        F.col("source").alias("partition_id"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("sum").cast("bigint").alias("sum_n_tok"),
+        F.round("mean", 6).alias("mean_n_tok"),
+        F.round("std", 6).alias("std_n_tok"))
+
+
 # -------------------------------- stateful / driver-final ops (rows-only) ----
 
 def _q_ev_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,6 +554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_grid_resample": _q_ev_grid_resample,
         "ev_minmax_normalize": _q_ev_minmax_normalize,
         "ev_topn": _q_ev_topn,
+        "ev_conditions": _q_ev_conditions,
+        "seq_column_stats_welford": _q_seq_column_stats_welford,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_dedup_minhash": _q_doc_dedup_minhash,
@@ -760,6 +796,38 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id) AS rn
                 FROM events
             ) WHERE rn <= 3
+        """,
+        "ev_conditions": f"""
+            WITH stats AS (
+                SELECT itemid, AVG(value) AS mean,
+                       COALESCE(STDDEV_SAMP(value), 0) AS std
+                FROM {_EV} ev GROUP BY itemid
+            ),
+            cat AS (
+                SELECT user_id AS itemid, COUNT(*) AS n_events,
+                       MAX(value) AS max_value
+                FROM events GROUP BY 1
+            ),
+            f1 AS (
+                SELECT s.itemid FROM stats s JOIN cat c USING (itemid)
+                WHERE c.n_events > 66 AND NOT (s.mean > 48.0)
+            ),
+            f2 AS (
+                SELECT s.itemid FROM stats s JOIN cat c USING (itemid)
+                WHERE c.max_value < 222 AND NOT (s.std < 47.5)
+            )
+            SELECT itemid FROM stats
+            WHERE itemid NOT IN (SELECT itemid FROM f1
+                                 UNION SELECT itemid FROM f2)
+        """,
+        "seq_column_stats_welford": f"""
+            SELECT source AS partition_id,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+                   ROUND(AVG(n_tok), 6) AS mean_n_tok,
+                   ROUND(COALESCE(STDDEV_SAMP(n_tok), 0), 6) AS std_n_tok
+            FROM {_SEQ}
+            GROUP BY source
         """,
         "doc_dedup_exact": f"""
             SELECT DISTINCT doc_id, canonical_id, group_cnt FROM (

@@ -49,3 +49,12 @@ def test_fused_zscore_failing_partition_emits_row_violations(seq):
     plain = run_checks(seq, suite, fuse=False)
     assert _norm_violations(fused.violations) == _norm_violations(plain.violations)
     assert fused.violations.count() > 0
+
+
+def test_unique_salted_equals_direct(seq):
+    from pyanomalydetector_spark.checks.core import Check, run_checks
+    direct = run_checks(seq, [Check("u", "unique", {"key": "doc_id"})])
+    salted = run_checks(seq, [Check("u", "unique",
+                                    {"key": "doc_id", "salt_buckets": 8})])
+    assert _norm_verdicts(direct.verdicts) == _norm_verdicts(salted.verdicts)
+    assert _norm_violations(direct.violations) == _norm_violations(salted.violations)
