@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for the engine's algebraic cores.
+
+These pin the invariants the incremental machinery depends on:
+- merge/retract are inverse operations (window slide correctness);
+- merged partials ≡ one-shot aggregation (the map-side-combine contract);
+- finalize matches pandas' Bessel std within float tolerance (the
+  reference-parity formula, stats.py:130-135);
+- DBSCAN labels partition-structure-invariant under input permutation.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyanomalydetector_spark.operators.cluster import dbscan_precomputed
+
+finite = st.floats(min_value=-1e6, max_value=1e6,
+                   allow_nan=False, allow_infinity=False)
+
+
+def _suff(xs):
+    return (float(sum(xs)), float(sum(x * x for x in xs)), len(xs))
+
+
+def _merge(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _retract(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _finalize(s, q, n):
+    # mirror of functions/stats.py:finalize_mean_std arithmetic
+    if n <= 0:
+        return None
+    mean = s / n
+    if n > 1:
+        var = (q - s * s / n) / (n - 1)
+        std = math.sqrt(var) if var > 0 else 0.0
+    else:
+        std = 0.0
+    if not math.isfinite(std):
+        std = 0.0
+    return mean, std
+
+
+@given(st.lists(finite, min_size=1, max_size=50),
+       st.lists(finite, min_size=0, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_merge_then_retract_is_identity(xs, ys):
+    a, b = _suff(xs), _suff(ys)
+    merged = _merge(a, b)
+    back = _retract(merged, b)
+    assert back[2] == a[2]
+    # float absorption bound: retracting b from (a+b) can lose up to
+    # ~ulp(a+b) of a's value — the inherent limit of sum-based retraction
+    # (why verdict thresholds use tolerances, SURVEY §7.4)
+    for i in (0, 1):
+        tol = max(1e-9, abs(merged[i]) * 1e-12)
+        assert abs(back[i] - a[i]) <= tol
+
+
+@given(st.lists(st.lists(finite, min_size=1, max_size=20),
+                min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_partials_merge_to_total(chunks):
+    total = _suff([x for c in chunks for x in c])
+    acc = (0.0, 0.0, 0)
+    for c in chunks:
+        acc = _merge(acc, _suff(c))
+    assert acc[2] == total[2]
+    assert acc[0] == pytest.approx(total[0], rel=1e-9, abs=1e-6)
+    assert acc[1] == pytest.approx(total[1], rel=1e-9, abs=1e-6)
+
+
+@given(st.lists(st.floats(min_value=-1e4, max_value=1e4,
+                          allow_nan=False, allow_infinity=False),
+                min_size=2, max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_finalize_matches_pandas_bessel_std(xs):
+    s, q, n = _suff(xs)
+    mean, std = _finalize(s, q, n)
+    ps = pd.Series(xs)
+    assert mean == pytest.approx(ps.mean(), rel=1e-9, abs=1e-9)
+    expected_std = float(ps.std())
+    if math.isnan(expected_std):
+        expected_std = 0.0
+    # sqr_sum formula loses precision vs two-pass when std << mean —
+    # tolerance reflects the float32-ish agreement the engine promises
+    # (the Welford UDAF is the high-precision path)
+    assert std == pytest.approx(expected_std, rel=1e-4, abs=1e-5)
+
+
+@given(st.lists(st.floats(min_value=0, max_value=100,
+                          allow_nan=False), min_size=2, max_size=30),
+       st.floats(min_value=0.5, max_value=10),
+       st.integers(min_value=2, max_value=4))
+@settings(max_examples=50, deadline=None)
+def test_dbscan_partition_invariant_under_permutation(pts, eps, min_samples):
+    pos = np.array(pts)
+    dist = np.abs(pos[:, None] - pos[None, :])
+    l1 = dbscan_precomputed(dist, eps, min_samples)
+    rng = np.random.RandomState(0)
+    perm = rng.permutation(len(pts))
+    l2 = dbscan_precomputed(dist[np.ix_(perm, perm)], eps, min_samples)
+
+    def parts(labels, index_map):
+        groups = {}
+        for i, c in enumerate(labels):
+            if c != -1:
+                groups.setdefault(c, set()).add(int(index_map[i]))
+        return {frozenset(v) for v in groups.values()}
+
+    assert parts(l2, perm) == parts(l1, np.arange(len(pts)))
+    # noise set also invariant
+    noise1 = {i for i, c in enumerate(l1) if c == -1}
+    noise2 = {int(perm[i]) for i, c in enumerate(l2) if c == -1}
+    assert noise1 == noise2
