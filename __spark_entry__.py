@@ -494,6 +494,55 @@ def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> top-10.
+
+    Exercises join ordering + partial agg + the order-by-limit
+    (TakeOrderedAndProject) physical pattern."""
+    c = load_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+          .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+          .groupBy("l_orderkey", "o_orderdate")
+          .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                .alias("revenue"))
+          .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+          .limit(10)
+          .select(F.col("l_orderkey").cast("bigint"),
+                  F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                  "revenue")
+    )
+
+
+def _q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through two dimension chains with the
+    same-nation constraint; revenue per nation."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders") \
+        .filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+          .join(c, o["o_custkey"] == c["c_custkey"])
+          .join(s, (li["l_suppkey"] == s["s_suppkey"])
+                   & (c["c_nationkey"] == s["s_nationkey"]))
+          .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+          .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+          .groupBy("n_name")
+          .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                .alias("revenue"))
+    )
+
+
 def _q_catalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7/J8: dimension chain customer⋈nation⋈region (broadcast joins)."""
     c = load_table(spark, sf_dir, "customer")
@@ -572,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_checkpoint_resume": _q_seq_checkpoint_resume,
         "mm_decode_features": _q_mm_decode_features,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
+        "tpch_q3_shipping": _q_tpch_q3_shipping,
+        "tpch_q5_local_supplier": _q_tpch_q5_local_supplier,
         "catalog_join": _q_catalog_join,
         "orders_anti_join": _q_orders_anti_join,
         "orders_semi_join": _q_orders_semi_join,
@@ -939,6 +990,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_shipping": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5_local_supplier": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
         """,
         "catalog_join": """
             SELECT r_name, n_name, COUNT(*) AS n_customers,

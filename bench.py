@@ -40,11 +40,15 @@ HEADLINE = [
     "ev_cascade",
     "ev_grid_resample",
     "tpch_pricing_summary",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
     "catalog_join",
     "doc_dedup_exact",
     "doc_dedup_minhash",
+    "doc_simhash_pairs",
     "doc_quality",
     "emb_ann_topk",
+    "emb_cosine_pairs",
 ]
 
 

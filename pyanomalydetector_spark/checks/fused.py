@@ -1,4 +1,4 @@
-"""Scan-fused execution of the check suite.
+"""Scan-fused, fully-lazy execution of the check suite.
 
 The naive execution of a suite runs one plan per check — at 100 TB that is one
 full table scan per check (7+ scans). But most check kinds only need
@@ -8,21 +8,31 @@ full table scan per check (7+ scans). But most check kinds only need
   column per partition;
 - ``n_tok_consistency`` / ``referential``  → conditional counts per partition;
 - ``drift_psi``                            → fixed-width bucket histogram per
-  partition (bucket membership is a row-local expression once the global
-  [min, max] is known).
+  partition.
 
-So the fused path runs:
+The fused plan therefore has exactly two passes over the data:
 
-1. one tiny pre-pass for the PSI bucket bounds (column-pruned min/max scan —
-   parquet footer stats make this almost free);
-2. ONE ``groupBy(partition).agg(...)`` over the table computing every
-   aggregate every fusible check needs (Spark's hash aggregate does the
-   map-side combine; only #partitions × #agg-columns crosses the shuffle);
-3. verdicts derived from that tiny aggregate frame (global baselines — mean,
-   std, bucket totals — are themselves sums over it, so no second scan);
-4. ONE filter scan emitting ALL row-level violations via an
+1. ONE ``groupBy(partition).agg(...)`` computing every aggregate every
+   fusible check needs (Spark's hash aggregate does the map-side combine;
+   only #partitions × #agg-columns crosses the shuffle);
+2. ONE filter scan emitting ALL row-level violations via an
    array-of-structs → ``filter`` → ``explode`` (each row evaluates every
    violation predicate in a single whole-stage-codegen pass).
+
+Crucially, the whole suite is ONE declarative plan — there are no driver
+round-trips inside it. Global inputs that earlier versions collected to the
+driver are folded in as broadcast 1-row frames:
+
+- PSI bucket bounds: a lazy ``df.agg(min, max)`` crossJoined onto the scan
+  (executes as a tiny subquery stage inside the same job);
+- global baselines (mean/std, bucket totals): a lazy re-aggregation of the
+  tiny per-partition frame, crossJoined onto the verdict selects;
+- z-score failing partitions: a broadcast left-join onto the violations
+  scan instead of a collected id list.
+
+So a full suite materializes in ~3 Spark jobs (fused verdicts, fused
+violations, plus whatever non-fused checks need) instead of ~7 — the fixed
+job-latency term that dominates small inputs, and fewer barriers at scale.
 
 Non-fusible kinds (``unique`` needs a groupBy on the key, ``drift_ks`` needs
 the per-value CDF grid, ``token_invariant`` needs a snapshot join) keep their
@@ -30,7 +40,8 @@ own plans — those shuffles are inherent to their semantics.
 
 Results are bit-identical to the per-check path (asserted in
 tests/test_fused.py); integer aggregates are exact, float aggregates differ
-only in summation order (within the 6-decimal rounding every consumer applies).
+only in summation order (within the 6-decimal rounding every consumer
+applies).
 
 Reference lineage: this is the Spark answer to the reference recomputing its
 stats per detection stage (/root/reference/data_processing/detector.py:149-230
@@ -48,8 +59,8 @@ from pyanomalydetector_spark.checks.drift import PSI_SMOOTH
 
 
 def is_fusible(check) -> bool:
-    """Checks with exotic params (DataFrame baselines/dims) use the per-check
-    path; plain-config checks fuse."""
+    """Checks with DataFrame-valued params use the per-check path; plain
+    config (including pinned-baseline scalars) fuses."""
     k, p = check.kind, check.params
     if k in ("column_stats", "n_tok_consistency"):
         return True
@@ -89,44 +100,50 @@ def _finalized(tag: str, prefix: str = "") -> tuple[Column, Column]:
     return scrub(mean), scrub(std)
 
 
+def _global_mean_std(mtag: str) -> tuple[Column, Column]:
+    """Global baseline mean/std as columns over the summed moments — the
+    same arithmetic (and op order) the finalize formulas use."""
+    gs = F.coalesce(F.col(f"g_{mtag}_sum"), F.lit(0.0))
+    gq = F.coalesce(F.col(f"g_{mtag}_sqr"), F.lit(0.0))
+    gc = F.coalesce(F.col(f"g_{mtag}_cnt"), F.lit(0)).cast("double")
+    mean_t = F.when(gc > 0, gs / gc).otherwise(F.lit(0.0))
+    var = F.when(gc > 1, (gq - gs * gs / gc) / (gc - 1)).otherwise(F.lit(0.0))
+    std_t = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
+    return mean_t, std_t
+
+
 def run_fused(df: DataFrame, checks: Sequence, pcol: str):
-    """Execute fusible checks in two scans. Returns (verdicts, violations)
-    lists of DataFrames, in the order of ``checks``."""
+    """Build the fused two-pass plan. Returns (verdicts, violations) lists of
+    *lazy* DataFrames, in the order of ``checks`` — no job runs here."""
     from pyanomalydetector_spark.checks.core import (  # local: avoid cycle
         _finish_verdicts, _finish_violations,
     )
 
-    spark = df.sparkSession
-
-    # ---- pass 0: PSI bucket bounds (column-pruned tiny scan) ---------------
-    # checks carrying a pinned histogram (checkpoint/resume path) supply
-    # their bounds; only unpinned PSI checks need the min/max pre-pass.
+    # ---- PSI bucket bounds: pinned → python lits; else a lazy 1-row agg ----
     psi_checks = [c for c in checks if c.kind == "drift_psi"]
-    bounds: dict[str, tuple[float, float]] = {}
-    need_scan: list[str] = []
+    pinned_bounds: dict[str, tuple[float, float]] = {}
+    scan_vcs: list[str] = []
     for c in psi_checks:
         vc = c.params.get("value_col", "n_tok")
         pinned = c.params.get("pinned_hist")
         if pinned is not None:
-            bounds[vc] = (float(pinned["lo"]), float(pinned["hi"]))
-        elif vc not in bounds:
-            bounds[vc] = (0.0, 0.0)
-            need_scan.append(vc)
-    if need_scan:
-        exprs = []
-        for vc in need_scan:
-            v = F.col(vc).cast("double")
-            exprs += [F.min(v).alias(f"lo_{vc}"), F.max(v).alias(f"hi_{vc}")]
-        row = df.agg(*exprs).collect()[0]
-        for vc in need_scan:
-            bounds[vc] = (float(row[f"lo_{vc}"]), float(row[f"hi_{vc}"]))
+            pinned_bounds[vc] = (float(pinned["lo"]), float(pinned["hi"]))
+        elif vc not in scan_vcs:
+            scan_vcs.append(vc)
 
-    # ---- pass 1: the single fused per-partition aggregate ------------------
+    part_src = df
+    if scan_vcs:
+        exprs = []
+        for vc in scan_vcs:
+            v = F.col(vc).cast("double")
+            exprs += [F.min(v).alias(f"_lo_{vc}"), F.max(v).alias(f"_hi_{vc}")]
+        part_src = df.crossJoin(F.broadcast(df.agg(*exprs)))
+
+    # ---- pass 1 plan: the single fused per-partition aggregate -------------
     aggs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
     moment_tags: set[str] = set()
     for i, c in enumerate(checks):
-        tag = f"c{i}"
-        p = c.params
+        tag, p = f"c{i}", c.params
         if c.kind in ("column_stats", "zscore_threshold"):
             vc = p.get("value_col", "n_tok")
             mtag = f"m_{vc}"
@@ -143,35 +160,49 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
         elif c.kind == "drift_psi":
             vc = p.get("value_col", "n_tok")
             nb = int(p.get("buckets", 10))
-            lo, hi = bounds[vc]
             v = F.col(vc).cast("double")
-            if hi == lo:
-                bucket = F.lit(0)
+            if vc in pinned_bounds:
+                lo, hi = pinned_bounds[vc]
+                if hi == lo:
+                    bucket = F.lit(0)
+                else:
+                    raw = F.floor((v - F.lit(lo)) / F.lit((hi - lo) / nb))
+                    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1))
             else:
-                raw = F.floor((v - F.lit(lo)) / F.lit((hi - lo) / nb))
-                bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1))
+                lo, hi = F.col(f"_lo_{vc}"), F.col(f"_hi_{vc}")
+                raw = F.floor((v - lo) / ((hi - lo) / nb))
+                clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1))
+                bucket = F.when(hi == lo, F.lit(0)).otherwise(clamped)
             for b in range(nb):
                 aggs.append(F.sum(F.when(bucket == b, 1).otherwise(0))
                              .alias(f"{tag}_b{b}"))
 
-    part_aggs = df.groupBy(F.col(pcol).alias("partition_id")).agg(*aggs).persist()
+    part_aggs = part_src.groupBy(F.col(pcol).alias("partition_id")) \
+                        .agg(*aggs).persist()
 
-    # global baselines are sums over the tiny aggregate frame — no re-scan
-    gl_exprs: list[Column] = [F.sum("_rows").alias("g_rows")]
-    for mtag in moment_tags:
-        gl_exprs += [F.sum(f"{mtag}_sum").alias(f"g_{mtag}_sum"),
-                     F.sum(f"{mtag}_sqr").alias(f"g_{mtag}_sqr"),
-                     F.sum(f"{mtag}_cnt").alias(f"g_{mtag}_cnt")]
-    for i, c in enumerate(checks):
-        if c.kind == "drift_psi":
-            nb = int(c.params.get("buckets", 10))
-            gl_exprs += [F.sum(f"c{i}_b{b}").alias(f"g_c{i}_b{b}")
-                         for b in range(nb)]
-    globals_row = part_aggs.agg(*gl_exprs).collect()[0]
+    # ---- global baselines: lazy 1-row re-agg of the tiny frame -------------
+    need_globals = any(
+        (c.kind == "zscore_threshold" and c.params.get("baseline_scalars") is None)
+        or (c.kind == "drift_psi" and c.params.get("pinned_hist") is None)
+        for c in checks)
+    pa = part_aggs
+    if need_globals:
+        gl_exprs: list[Column] = [F.sum("_rows").alias("g_rows")]
+        for mtag in moment_tags:
+            gl_exprs += [F.sum(f"{mtag}_sum").alias(f"g_{mtag}_sum"),
+                         F.sum(f"{mtag}_sqr").alias(f"g_{mtag}_sqr"),
+                         F.sum(f"{mtag}_cnt").alias(f"g_{mtag}_cnt")]
+        for i, c in enumerate(checks):
+            if c.kind == "drift_psi" and c.params.get("pinned_hist") is None:
+                nb = int(c.params.get("buckets", 10))
+                gl_exprs += [F.sum(f"c{i}_b{b}").alias(f"g_c{i}_b{b}")
+                             for b in range(nb)]
+        pa = part_aggs.crossJoin(F.broadcast(part_aggs.agg(*gl_exprs)))
 
-    # ---- verdicts from the aggregate frame ---------------------------------
+    # ---- verdict plans from the aggregate frame ----------------------------
     verdicts: list[DataFrame] = []
     viol_entries = []   # (check_id, cond, observed_col, expected_col)
+    viol_joins = []     # broadcast frames joined onto the violations scan
 
     for i, c in enumerate(checks):
         tag, p = f"c{i}", c.params
@@ -180,7 +211,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
             vc = p.get("value_col", "n_tok")
             min_count = int(p.get("min_count", 1))
             cnt = F.col(f"m_{vc}_cnt")
-            verdicts.append(_finish_verdicts(part_aggs.select(
+            verdicts.append(_finish_verdicts(pa.select(
                 "partition_id", cid,
                 (cnt >= min_count).alias("passed"),
                 cnt.cast("double").alias("observed"),
@@ -195,42 +226,40 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
             mtag = f"m_{vc}"
             scalars = p.get("baseline_scalars")
             if scalars is not None:          # pinned baseline (resume path)
-                mean_t, std_t = float(scalars["mean"]), float(scalars["std"])
+                mean_t = F.lit(float(scalars["mean"]))
+                std_t = F.lit(float(scalars["std"]))
             else:
-                # global mean/std with finalize semantics, from summed moments
-                gs, gq, gc = (float(globals_row[f"g_{mtag}_sum"] or 0.0),
-                              float(globals_row[f"g_{mtag}_sqr"] or 0.0),
-                              int(globals_row[f"g_{mtag}_cnt"] or 0))
-                mean_t = gs / gc if gc > 0 else 0.0
-                var = ((gq - gs * gs / gc) / (gc - 1)) if gc > 1 else 0.0
-                std_t = var ** 0.5 if var > 0 else 0.0
+                mean_t, std_t = _global_mean_std(mtag)
             mean_h, _ = _finalized(mtag)
-            dev = F.abs(mean_h - F.lit(mean_t))
-            fail = (dev > F.lit(lam * std_t)) & F.lit(mean_t > 0) & \
-                   (F.try_divide(dev, F.lit(mean_t)) > rate)
-            verdicts.append(_finish_verdicts(part_aggs.select(
+            dev = F.abs(mean_h - mean_t)
+            fail = (dev > F.lit(lam) * std_t) & (mean_t > 0) & \
+                   (F.try_divide(dev, mean_t) > rate)
+            verdicts.append(_finish_verdicts(pa.select(
                 "partition_id", cid,
                 (~fail).alias("passed"),
                 mean_h.alias("observed"),
-                F.lit(mean_t).alias("expected"),
-                F.lit(lam * std_t).alias("threshold"),
+                mean_t.alias("expected"),
+                (F.lit(lam) * std_t).alias("threshold"),
                 F.lit(0).alias("n_violations"),
                 F.col(f"{mtag}_cnt").alias("rows_scanned"))))
-            failing = [r["partition_id"] for r in
-                       part_aggs.select("partition_id")
-                       .where(fail).collect()]
-            if failing:
-                v = F.col(vc).cast("double")
-                cond = F.col(pcol).isin(failing) & \
-                    (F.abs(v - F.lit(mean_t)) > F.lit(lam * std_t))
-                exp = F.concat(
-                    F.lit("within "), F.round(F.lit(mean_t), 6).cast("string"),
-                    F.lit(" ± "), F.round(F.lit(lam * std_t), 6).cast("string"))
-                viol_entries.append((c.check_id, cond,
-                                     F.col(vc).cast("string"), exp))
+            # failing partitions flow into the violations scan as a
+            # broadcast left-join — no driver collect
+            zfail = pa.where(fail).select(
+                F.col("partition_id").alias(f"_zp_{i}"),
+                mean_t.alias(f"_zm_{i}"),
+                (F.lit(lam) * std_t).alias(f"_zt_{i}"))
+            viol_joins.append((zfail, f"_zp_{i}"))
+            v = F.col(vc).cast("double")
+            cond = F.col(f"_zm_{i}").isNotNull() & \
+                (F.abs(v - F.col(f"_zm_{i}")) > F.col(f"_zt_{i}"))
+            exp = F.concat(
+                F.lit("within "), F.round(F.col(f"_zm_{i}"), 6).cast("string"),
+                F.lit(" ± "), F.round(F.col(f"_zt_{i}"), 6).cast("string"))
+            viol_entries.append((c.check_id, cond,
+                                 F.col(vc).cast("string"), exp))
         elif c.kind == "n_tok_consistency":
             bad_n = F.col(f"{tag}_bad")
-            verdicts.append(_finish_verdicts(part_aggs.select(
+            verdicts.append(_finish_verdicts(pa.select(
                 "partition_id", cid,
                 (bad_n == 0).alias("passed"),
                 bad_n.cast("double").alias("observed"),
@@ -245,7 +274,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
         elif c.kind == "referential":
             col, allowed = p.get("column", "source"), sorted(p["allowed"])
             bad_n = F.col(f"{tag}_bad")
-            verdicts.append(_finish_verdicts(part_aggs.select(
+            verdicts.append(_finish_verdicts(pa.select(
                 "partition_id", cid,
                 (bad_n == 0).alias("passed"),
                 bad_n.cast("double").alias("observed"),
@@ -262,24 +291,23 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
             nb = int(p.get("buckets", 10))
             threshold = float(p.get("threshold", 0.2))
             pinned = p.get("pinned_hist")
-            if pinned is not None:
-                n_base = float(pinned["n_base"])
-                base_counts = [float(x) for x in pinned["counts"]]
-            else:
-                n_base = float(globals_row["g_rows"])
-                base_counts = [float(globals_row[f"g_{tag}_b{b}"] or 0)
-                               for b in range(nb)]
             n_p = sum((F.col(f"{tag}_b{b}") for b in range(1, nb)),
                       F.col(f"{tag}_b0"))
             terms = []
             for b in range(nb):
-                c_b = base_counts[b]
+                if pinned is not None:
+                    qq = F.lit((float(pinned["counts"][b]) + PSI_SMOOTH)
+                               / (float(pinned["n_base"]) + PSI_SMOOTH * nb))
+                else:
+                    c_b = F.coalesce(F.col(f"g_{tag}_b{b}"), F.lit(0)) \
+                           .cast("double")
+                    qq = (c_b + F.lit(PSI_SMOOTH)) / \
+                         (F.col("g_rows").cast("double") + F.lit(PSI_SMOOTH * nb))
                 pp = (F.col(f"{tag}_b{b}") + F.lit(PSI_SMOOTH)) / \
                      (n_p + F.lit(PSI_SMOOTH * nb))
-                qq = F.lit((c_b + PSI_SMOOTH) / (n_base + PSI_SMOOTH * nb))
                 terms.append((pp - qq) * F.log(pp / qq))
             psi = sum(terms[1:], terms[0])
-            verdicts.append(_finish_verdicts(part_aggs.select(
+            verdicts.append(_finish_verdicts(pa.select(
                 "partition_id", cid,
                 (psi <= threshold).alias("passed"),
                 psi.alias("observed"),
@@ -290,9 +318,14 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
         else:  # pragma: no cover — guarded by is_fusible
             raise ValueError(f"not fusible: {c.kind}")
 
-    # ---- pass 2: one scan emitting every row-level violation ---------------
+    # ---- pass 2 plan: one scan emitting every row-level violation ----------
     violations: list[DataFrame] = []
     if viol_entries:
+        viol_src = df
+        for frame, keycol in viol_joins:
+            viol_src = viol_src.join(
+                F.broadcast(frame),
+                F.col(pcol) == F.col(keycol), "left").drop(keycol)
         structs = F.array(*[
             F.when(cond, F.struct(
                 F.lit(cid).alias("check_id"),
@@ -303,13 +336,13 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
         ])
         hits = F.filter(structs, lambda x: x.isNotNull())
         exploded = (
-            df.select(F.col(pcol).alias("partition_id"), "doc_id",
-                      F.explode(hits).alias("v"))
-              .select("partition_id",
-                      F.col("v.check_id").alias("check_id"),
-                      "doc_id",
-                      F.col("v.observed").alias("observed"),
-                      F.col("v.expected").alias("expected"))
+            viol_src.select(F.col(pcol).alias("partition_id"), "doc_id",
+                            F.explode(hits).alias("v"))
+                    .select("partition_id",
+                            F.col("v.check_id").alias("check_id"),
+                            "doc_id",
+                            F.col("v.observed").alias("observed"),
+                            F.col("v.expected").alias("expected"))
         )
         violations.append(_finish_violations(exploded))
 

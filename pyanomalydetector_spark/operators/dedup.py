@@ -51,17 +51,32 @@ def exact_duplicate_groups(df: DataFrame, content_cols: list[str],
     Returns ``(doc_id, canonical_id, group_cnt)`` — one row per distinct id in
     each group of >1 identical rows; canonical = min id (equal to ``doc_id``
     itself when the duplicate rows share an id, as the injected fixture dups
-    do). One shuffle on the content (at 10¹²-scale: pre-hash to 128 bits,
-    then confirm equality only within hash groups).
+    do).
+
+    Scale design: the wide content (token arrays) never crosses the main
+    shuffle. Pass 1 aggregates 8-byte ``xxhash64(content)`` values to find
+    candidate hash groups; pass 2 re-scans with a semi-join on those (tiny)
+    hashes and does the exact content-grouping window only over candidate
+    rows — hash collisions between distinct contents are harmless because
+    the final window partitions by the actual content.
     """
+    content = [F.col(c) for c in content_cols]
+    h = F.xxhash64(*content).alias("_h")
+    hashed = df.select(id_col, *content_cols, h)
+
+    dup_hashes = (
+        hashed.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+              .filter(F.col("_c") > 1).select("_h")
+    )
+    cands = hashed.join(dup_hashes, "_h", "left_semi")
+
     w = Window.partitionBy(*content_cols)
     return (
-        df.select(id_col, *content_cols)
-          .withColumn("canonical_id", F.min(id_col).over(w))
-          .withColumn("group_cnt", F.count(F.lit(1)).over(w))
-          .filter(F.col("group_cnt") > 1)
-          .select(id_col, "canonical_id", "group_cnt")
-          .distinct()
+        cands.withColumn("canonical_id", F.min(id_col).over(w))
+             .withColumn("group_cnt", F.count(F.lit(1)).over(w))
+             .filter(F.col("group_cnt") > 1)
+             .select(id_col, "canonical_id", "group_cnt")
+             .distinct()
     )
 
 

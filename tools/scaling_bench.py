@@ -122,18 +122,22 @@ def main() -> None:
         return float(line.split()[1])
 
     ladder = (1, 4, 8, 32)
+    samples = int(os.environ.get("SCALING_SAMPLES", "2"))
     results, probe = {}, {}
     for cores in ladder:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run", str(cores),
-             str(N_ROWS)],
-            capture_output=True, text=True, check=True)
-        child = json.loads(proc.stdout.strip().splitlines()[-1])
-        t, n_rows = child["sec"], child["n_rows"]
-        results[cores] = {"sec": round(t, 2),
-                          "seq_per_sec": round(n_rows / t, 1)}
-        probe[cores] = round(cpu_probe(cores), 2)
-        print(f"local[{cores}]: {t:.2f}s ({n_rows / t:,.0f} seq/s) "
+        best, n_rows = None, 0
+        for _ in range(samples):   # host capacity fluctuates; keep the min
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run",
+                 str(cores), str(N_ROWS)],
+                capture_output=True, text=True, check=True)
+            child = json.loads(proc.stdout.strip().splitlines()[-1])
+            t, n_rows = child["sec"], child["n_rows"]
+            best = t if best is None else min(best, t)
+        results[cores] = {"sec": round(best, 2),
+                          "seq_per_sec": round(n_rows / best, 1)}
+        probe[cores] = round(min(cpu_probe(cores) for _ in range(samples)), 2)
+        print(f"local[{cores}]: {best:.2f}s ({n_rows / best:,.0f} seq/s) "
               f"probe={probe[cores]}s", file=sys.stderr)
 
     def eff(lo, hi):
