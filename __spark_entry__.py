@@ -387,6 +387,22 @@ def _q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank"))
 
 
+def _q_seq_token_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-array byte-equality vs a trusted snapshot (xxhash64 prefilter +
+    exact array confirm). A deterministic perturbation (append a 0 token to
+    every 37th doc) plays the corrupted copy; the check must flag exactly
+    those doc_ids."""
+    seq = load_sequences(spark, sf_dir)
+    docnum = F.substring("doc_id", 5, 8).cast("bigint")
+    perturbed = seq.withColumn(
+        "tokens",
+        F.when(F.pmod(docnum, F.lit(37)) == 0,
+               F.concat("tokens", F.array(F.lit(0)))).otherwise(F.col("tokens")))
+    res = run_checks(perturbed,
+                     [Check("tok", "token_invariant", {"expected": seq})])
+    return res.violations.select("partition_id", "doc_id").distinct()
+
+
 def _q_ev_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6: declarative per-item conditions (detector.py:167-270 semantics) —
     items matching a catalog filter must satisfy a metric threshold."""
@@ -458,6 +474,32 @@ def _q_seq_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition_id", "check_id",
         F.col("passed").cast("int").alias("passed"),
         F.round("observed", 6).alias("observed"),
+        F.col("n_violations").cast("bigint").alias("n_violations"))
+
+
+def _q_seq_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous validation: two file batches through the streaming check
+    suite (first-batch pinned baseline, per-batch lineage — rows-only)."""
+    import tempfile
+    from pyanomalydetector_spark.streaming.check_stream import (
+        StreamingSuiteRunner, stream_check_suite,
+    )
+    seq = load_sequences(spark, sf_dir)
+    suite = default_suite(_allowed_sources(seq))
+    parts = sorted(r["source"] for r in seq.select("source").distinct().collect())
+    half = parts[: len(parts) // 2]
+    base = tempfile.mkdtemp(prefix="stream_q_")
+    inp = base + "/in"
+    seq.filter(F.col("source").isin(half)).write.mode("append").parquet(inp)
+    runner = StreamingSuiteRunner(spark, base + "/store", suite)
+    stream_check_suite(spark, inp, seq.schema, runner, base + "/ck") \
+        .awaitTermination(300)
+    seq.filter(~F.col("source").isin(half)).write.mode("append").parquet(inp)
+    stream_check_suite(spark, inp, seq.schema, runner, base + "/ck") \
+        .awaitTermination(300)
+    return runner.verdicts().select(
+        "partition_id", "check_id",
+        F.col("passed").cast("int").alias("passed"),
         F.col("n_violations").cast("bigint").alias("n_violations"))
 
 
@@ -592,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_zscore_verdict": _q_seq_zscore_verdict,
         "seq_drift_psi": _q_seq_drift_psi,
         "seq_drift_ks": _q_seq_drift_ks,
+        "seq_token_invariant": _q_seq_token_invariant,
         "ev_rollup": _q_ev_rollup,
         "ev_trend_stats": _q_ev_trend_stats,
         "ev_detect1": _q_ev_detect1,
@@ -619,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_ivf": _q_emb_ann_ivf,
         "ev_cluster": _q_ev_cluster,
         "seq_checkpoint_resume": _q_seq_checkpoint_resume,
+        "seq_stream_validate": _q_seq_stream_validate,
         "mm_decode_features": _q_mm_decode_features,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_q3_shipping": _q_tpch_q3_shipping,
@@ -1087,6 +1131,11 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(m, 6) AS expected,
                    ROUND(2.0 * s, 6) AS threshold
             FROM p, base
+        """,
+        "seq_token_invariant": f"""
+            SELECT DISTINCT source AS partition_id, doc_id
+            FROM {_SEQ}
+            WHERE CAST(substr(doc_id, 5, 8) AS BIGINT) % 37 = 0
         """,
         "seq_drift_psi": f"""
             WITH bounds AS (
