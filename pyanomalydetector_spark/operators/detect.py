@@ -48,6 +48,11 @@ class DetectorConfig:
     history_recent_retention: int = 24
     trends_retention: int = 27
     long_trends_retention: int = 60
+    # replicate the reference's detect2 rel-diff guard bit-for-bit: it
+    # divides by the SIGNED diff-mean (detector.py:325, 332), so a negative
+    # mean silently fails the guard. False (default) uses the intended
+    # |ext−mean| > rate·|mean| semantics.
+    strict_reference_diff_guard: bool = False
 
 
 def detect1(history_df: DataFrame, trends_df: DataFrame,
@@ -95,23 +100,30 @@ def adjacent_diff_stats(df: DataFrame, value_col: str = "value") -> DataFrame:
 
 def _detect_diff_anomalies(trends_df: DataFrame, recent_stats: DataFrame,
                            lam: float, ignore_diff_rate: float,
-                           is_up: bool) -> DataFrame:
+                           is_up: bool, strict_reference: bool = False) -> DataFrame:
     """detector.py:286-337: envelope adjacent-diff stats vs recent extremes."""
     col = "value_max" if is_up else "value_min"
     env = trends_df.select("itemid", "clock", F.col(col).alias("value"))
     tstats = adjacent_diff_stats(env).filter(F.col("std") > 0)
 
     j = recent_stats.join(tstats, "itemid")
-    # rel-diff guard in multiplication form: |ext−mean| > rate·|mean| ≡ the
-    # reference's |(ext−mean)/mean| > rate including its mean==0 → inf case
-    # (pandas inf > rate is True; a division here would be engine-dependent).
     if is_up:
         diff = F.abs(F.col("max") - F.col("mean"))
     else:
         diff = F.abs(F.col("mean") - F.col("min"))
-    return j.filter((diff > lam * F.col("std"))
-                    & (diff > ignore_diff_rate * F.abs(F.col("mean")))) \
-            .select("itemid")
+    if strict_reference:
+        # the reference divides by the SIGNED mean (detector.py:325, 332):
+        # negative diff-mean → negative ratio → guard fails; mean==0 →
+        # pandas inf > rate → passes (try_divide NULL → fails... so map
+        # NULL to +inf to match the pandas inf case exactly)
+        ratio = F.coalesce(F.try_divide(diff, F.col("mean")),
+                           F.lit(float("inf")))
+        guard = ratio > ignore_diff_rate
+    else:
+        # intended semantics, engine-portable: |ext−mean| > rate·|mean|
+        # (covers the mean==0 → always-pass case the same way)
+        guard = diff > ignore_diff_rate * F.abs(F.col("mean"))
+    return j.filter((diff > lam * F.col("std")) & guard).select("itemid")
 
 
 def detect2(history_df: DataFrame, trends_df: DataFrame,
@@ -130,9 +142,11 @@ def detect2(history_df: DataFrame, trends_df: DataFrame,
         (F.max("value") - first).alias("max"),
     )
     up = _detect_diff_anomalies(trends_df, r, cfg.detect2_lambda_threshold,
-                                cfg.ignore_diff_rate, is_up=True)
+                                cfg.ignore_diff_rate, is_up=True,
+                                strict_reference=cfg.strict_reference_diff_guard)
     dw = _detect_diff_anomalies(trends_df, r, cfg.detect2_lambda_threshold,
-                                cfg.ignore_diff_rate, is_up=False)
+                                cfg.ignore_diff_rate, is_up=False,
+                                strict_reference=cfg.strict_reference_diff_guard)
     return up.union(dw).distinct()
 
 

@@ -76,3 +76,88 @@ def minmax_normalize(df: DataFrame, itemid_col: str = "itemid",
                           F.max(value_col).over(w) - F.min(value_col).over(w))
     out = F.when(scaled.isNull() | F.isnan(scaled), F.lit(0.0)).otherwise(scaled)
     return df.withColumn(value_col, out)
+
+
+def fit_to_grid_walk(base_clocks, clocks, values):
+    """Bit-exact reimplementation of the reference's alignment walk
+    (normalizer.py:31-72), for verdict parity on its fixtures.
+
+    Semantics (derived from the reference's golden test vectors,
+    tests/test_normalizer.py:14-27):
+    - equal lengths pass values through untouched;
+    - a sample beyond the current grid point backfills it (the *next* value
+      is taken, not the previous);
+    - samples before a grid point buffer up and average into it together
+      with the on-grid sample;
+    - grid tail with no samples left repeats the final sample;
+    - leftover samples past the grid blend into the last cell as
+      ``(cell + mean(rest)) / 2``.
+
+    Pure numpy; driver- or executor-side (used per-group in applyInPandas).
+    """
+    import numpy as np
+
+    nb, nd = len(base_clocks), len(clocks)
+    if nd == nb:
+        return list(values)
+    out = np.zeros(nb)
+    i = j = 0
+    acc, acc_n = 0.0, 0
+    while i < nb and j < nd:
+        c = clocks[j]
+        if c > base_clocks[i]:
+            out[i] = values[j]
+            i += 1
+        elif c == base_clocks[i]:
+            if acc_n > 0:
+                out[i] = (acc + values[j]) / (acc_n + 1)
+                acc, acc_n = 0.0, 0
+            else:
+                out[i] = values[j]
+            i += 1
+            j += 1
+        else:
+            acc += values[j]
+            acc_n += 1
+            j += 1
+    if i < nb:
+        out[i:] = values[-1]
+    if j < nd:
+        out[-1] = (out[-1] + float(np.mean(np.asarray(values[j:], dtype=float)))) / 2.0
+    return out.tolist()
+
+
+def resample_to_grid_exact(df: DataFrame, startep: int, endep: int,
+                           unitsecs: int) -> DataFrame:
+    """Reference-exact grid alignment as a grouped Arrow UDF.
+
+    Each item's ordered series goes through :func:`fit_to_grid_walk` — the
+    sequential semantics can't be expressed with window functions without
+    changing results, so this is the sanctioned applyInPandas path
+    (SURVEY §2.5 W3: "grouped pandas UDF reusing the exact walk for
+    bit-parity"). Output: one row per (itemid, grid clock).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    lo = int(startep - (startep % unitsecs))
+    hi = int(endep - (endep % unitsecs))
+    grid = list(range(lo, hi + int(unitsecs), int(unitsecs)))
+
+    schema = StructType([
+        StructField("itemid", df.schema["itemid"].dataType),
+        StructField("clock", LongType()),
+        StructField("value", DoubleType()),
+    ])
+
+    def align(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("clock")
+        vals = fit_to_grid_walk(grid, pdf["clock"].tolist(),
+                                pdf["value"].astype(float).tolist())
+        return pd.DataFrame({"itemid": pdf["itemid"].iloc[0],
+                             "clock": grid, "value": vals})
+
+    window = df.filter((F.col("clock") >= grid[0]) & (F.col("clock") <= grid[-1]))
+    return window.groupBy("itemid").applyInPandas(align, schema)
