@@ -196,3 +196,99 @@ def test_detect2_on_reference_fixture(spark):
                          strict_reference_diff_guard=True)
     ours = sorted(r["itemid"] for r in detect2(h2, trends, cfg).collect())
     assert ours == _pandas_detect2_oracle(spark, survivors)
+
+
+def test_two_stage_dbscan_reference_golden(spark):
+    """The reference's dbscan golden test (tests/test_dbscan.py:31-43):
+    11 items at endep=1739505598 must yield exactly 2 clusters of sizes
+    3 and 2 plus 6 noise points. Pipeline replicated with OUR primitives
+    (exact grid walk, jaccard matrix, deterministic DBSCAN) and pandas glue
+    where the reference's driver-side shapes are inherently local
+    (classifiers/dbscan.py:69-171)."""
+    from pyanomalydetector_spark.operators.cluster import (
+        dbscan_precomputed, jaccard_distance_matrix,
+    )
+
+    endep = 1739505598
+    ts_end = endep - 600 * 18
+    cache_start = endep - 86400
+    trends_start = endep - 86400 * 14
+    items = sorted(ITEM_IDS)
+
+    with gzip.open(os.path.join(FIX, "trends.csv.gz"), "rt") as f:
+        tr = pd.read_csv(f)
+
+    # trends stats (the classifier's z-score baseline, models/stats.py:48-58)
+    t = tr[tr["itemid"].isin(items)
+           & (tr["clock"] >= ts_end - 86400 * 14) & (tr["clock"] <= ts_end)]
+    g = t.groupby("itemid")["value_avg"]
+    stats = {i: (float(m), float(s if s == s else 0.0))
+             for i, m, s in zip(g.mean().index, g.mean(), g.std())}
+
+    # grid-aligned history cache via OUR exact walk (update_history analog)
+    raw = read_metrics_csv(spark, os.path.join(FIX, "history.csv.gz"),
+                           HISTORY_SCHEMA, item_ids=items)
+    cache = resample_to_grid_exact(raw, cache_start, endep, 600) \
+        .orderBy("itemid", "clock").collect()
+    hist_charts = {}
+    for r in cache:
+        hist_charts.setdefault(r["itemid"], []).append(r["value"])
+    chart_ids = [i for i in items if i in hist_charts]
+
+    # stage 1: jaccard DBSCAN on |z|>2 indicators vs the trends baseline
+    ind = []
+    for i in chart_ids:
+        v = np.array(hist_charts[i])
+        mean, std = stats[i]
+        z = (v - mean) / std if std > 0 else np.zeros_like(v)
+        ind.append((np.abs(z) > 2.0).astype(float))
+    d1 = jaccard_distance_matrix(np.vstack(ind))
+    labels1 = dbscan_precomputed(d1, eps=0.1, min_samples=2)
+
+    clusters = {cid: int(l) for cid, l in zip(chart_ids, labels1)}
+    max_id = int(labels1.max())
+
+    # stage 2 charts: trends value_avg [trends_start, cache_start-1] ⧺ cache
+    t2 = tr[tr["itemid"].isin(items)
+            & (tr["clock"] >= trends_start) & (tr["clock"] <= cache_start - 1)]
+    charts2 = {}
+    for i in chart_ids:
+        pre = t2[t2["itemid"] == i].sort_values("clock")["value_avg"].tolist()
+        charts2[i] = pd.Series(pre + hist_charts[i])
+
+    def corr_dist(a: pd.Series, b: pd.Series) -> float:
+        if a.std() == 0 or b.std() == 0:
+            return 1.0
+        return 1 - abs(a.corr(b))
+
+    for label in sorted(set(labels1)):
+        if label == -1:
+            continue
+        group = [cid for cid in chart_ids if clusters[cid] == label]
+        if len(group) < 2:
+            continue
+        n = len(group)
+        m = np.zeros((n, n))
+        for a in range(n):
+            for b in range(a + 1, n):
+                sa, sb = charts2[group[a]], charts2[group[b]]
+                d = 0.5 * corr_dist(sa, sb) + \
+                    0.5 * corr_dist(sa.diff().dropna(), sb.diff().dropna())
+                m[a, b] = m[b, a] = d
+        finite_max = np.nanmax(m) if np.isfinite(np.nanmax(m)) else 1.0
+        m = np.where(np.isnan(m), finite_max, m)
+        np.fill_diagonal(m, 0.0)
+        labels2 = dbscan_precomputed(m, eps=0.2, min_samples=2)
+        for k, cid in enumerate(group):
+            clusters[cid] = -1 if labels2[k] == -1 \
+                else max_id + int(labels2[k]) + 1
+        max_id = max(clusters.values())
+
+    sizes = {}
+    for cid, l in clusters.items():
+        if l >= 0:
+            sizes[l] = sizes.get(l, 0) + 1
+    # tests/test_dbscan.py:31-43 golden structure
+    assert sorted(sizes.values()) == [2, 3]
+    assert len(sizes) == 2
+    assert sum(1 for l in clusters.values() if l == -1) == 6
