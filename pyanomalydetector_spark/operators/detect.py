@@ -53,6 +53,9 @@ class DetectorConfig:
     # mean silently fails the guard. False (default) uses the intended
     # |ext−mean| > rate·|mean| semantics.
     strict_reference_diff_guard: bool = False
+    # replicate the reference's local-peak anchored-stride walk
+    # (detector.py:435-457) instead of the every-row rangeBetween window.
+    strict_reference_peaks: bool = False
 
 
 def detect1(history_df: DataFrame, trends_df: DataFrame,
@@ -165,6 +168,42 @@ def local_peaks(env_df: DataFrame, window: int, is_up: bool = True) -> DataFrame
     return means.groupBy("itemid").agg(agg.alias("local_peak"))
 
 
+def local_peaks_strict(env_df: DataFrame, window: int,
+                       is_up: bool = True) -> DataFrame:
+    """Reference-exact local-peak walk (detector.py:435-457) as a grouped
+    Arrow UDF: anchors start at the item's LAST sample and step back by
+    ``window // 2``; each anchor takes the mean of samples in
+    ``(anchor - window, anchor]``. Two reference quirks are preserved:
+    anchors with no samples yield NaN, which Python's ``max``/``min``
+    silently ignores (``nan > x`` is False), and anchoring stops once the
+    anchor passes the first sample."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("itemid", env_df.schema["itemid"].dataType),
+        StructField("local_peak", DoubleType()),
+    ])
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("clock")
+        clocks = pdf["clock"].to_numpy()
+        values = pdf["value"].to_numpy(dtype=float)
+        anchor = int(clocks[-1])
+        first = int(clocks[0])
+        half = window // 2
+        peak = -float("inf") if is_up else float("inf")
+        while anchor >= first:
+            mask = (clocks <= anchor) & (clocks > anchor - window)
+            val = float(values[mask].mean()) if mask.any() else float("nan")
+            peak = max(peak, val) if is_up else min(peak, val)
+            anchor -= half
+        return pd.DataFrame({"itemid": [pdf["itemid"].iloc[0]],
+                             "local_peak": [peak]})
+
+    return env_df.groupBy("itemid").applyInPandas(walk, out_schema)
+
+
 def _filter_by_anomaly_cnt(history_df: DataFrame, env_stats: DataFrame,
                            hist_count: int, lam: float,
                            valid_count_rate: float, is_up: bool) -> DataFrame:
@@ -187,11 +226,13 @@ def _filter_by_anomaly_cnt(history_df: DataFrame, env_stats: DataFrame,
 def _filter_anomal_history(history_df: DataFrame, env_df: DataFrame,
                            env_stats: DataFrame, hist_count: int,
                            density_window: int, lam: float,
-                           valid_count_rate: float, is_up: bool) -> DataFrame:
+                           valid_count_rate: float, is_up: bool,
+                           strict_peaks: bool = False) -> DataFrame:
     """detector.py:461-485: count-ratio filter, then local-peak guard."""
     survivors = _filter_by_anomaly_cnt(history_df, env_stats, hist_count,
                                        lam, valid_count_rate, is_up)
-    peaks = local_peaks(env_df.join(survivors, "itemid"), density_window, is_up)
+    peak_fn = local_peaks_strict if strict_peaks else local_peaks
+    peaks = peak_fn(env_df.join(survivors, "itemid"), density_window, is_up)
     means = history_df.join(survivors, "itemid").groupBy("itemid") \
                       .agg(F.avg("value").alias("hist_mean"))
     j = peaks.join(means, "itemid")
@@ -227,10 +268,11 @@ def detect3(history_df: DataFrame, trends_df: DataFrame,
     lam2 = cfg.detect3_lambda_threshold2
     rate = cfg.anomaly_valid_count_rate
 
+    sp = cfg.strict_reference_peaks
     a_up = _filter_anomal_history(history_df, env_up, stats_up, hist_count,
-                                  density_window, lam1, rate, True)
+                                  density_window, lam1, rate, True, sp)
     a_dw = _filter_anomal_history(history_df, env_dw, stats_dw, hist_count,
-                                  density_window, lam1, rate, False)
+                                  density_window, lam1, rate, False, sp)
     # stage_a feeds both the final union and the stage-B anti-join; checkpoint
     # so its (join+window)-heavy subtree runs once and the stage-B plans don't
     # re-embed it (lineage control, see detect_cascade).
@@ -239,9 +281,9 @@ def detect3(history_df: DataFrame, trends_df: DataFrame,
     hist2 = history_df.join(stage_a, "itemid", "left_anti") \
                       .filter(F.col("clock") >= startep2)
     b_up = _filter_anomal_history(hist2, env_up, stats_up, hist_count2,
-                                  density_window, lam2, rate, True)
+                                  density_window, lam2, rate, True, sp)
     b_dw = _filter_anomal_history(hist2, env_dw, stats_dw, hist_count2,
-                                  density_window, lam2, rate, False)
+                                  density_window, lam2, rate, False, sp)
     return stage_a.union(b_up).union(b_dw).distinct()
 
 

@@ -292,3 +292,107 @@ def test_two_stage_dbscan_reference_golden(spark):
     assert sorted(sizes.values()) == [2, 3]
     assert len(sizes) == 2
     assert sum(1 for l in clusters.values() if l == -1) == 6
+
+
+def _ref_local_peak(df_item: pd.DataFrame, window: int, is_up: bool) -> float:
+    """detector.py:435-457 anchored-stride walk (python max/min NaN quirk)."""
+    epoch = int(df_item.iloc[-1]["clock"])
+    start = int(df_item.iloc[0]["clock"])
+    peak = -float("inf") if is_up else float("inf")
+    while epoch >= start:
+        val = df_item[(df_item["clock"] <= epoch)
+                      & (df_item["clock"] > epoch - window)]["value"].mean()
+        peak = max(peak, val) if is_up else min(peak, val)
+        epoch -= window // 2
+    return peak
+
+
+def _pandas_detect3_oracle(cache: pd.DataFrame, env: pd.DataFrame,
+                           base_clocks, startep2, lam1, lam2, rate,
+                           density_window):
+    """detector.py:498-584 (_detect3_batch) replicated faithfully."""
+    def env_of(col):
+        d = env[["itemid", "clock", col]].copy()
+        d.columns = ["itemid", "clock", "value"]
+        return d
+
+    def stats_of(d):
+        g = d.groupby("itemid")["value"]
+        return pd.DataFrame({"itemid": g.mean().index,
+                             "mean": g.mean().values, "std": g.std().values})
+
+    def cnt_filter(hist, stats, hist_count, lam, is_up):
+        out = []
+        for row in stats.itertuples():
+            part = hist[hist["itemid"] == row.itemid]
+            sel = part[part["value"] > row.mean + lam * row.std] if is_up \
+                else part[part["value"] < row.mean - lam * row.std]
+            if len(sel) and len(sel) / hist_count > rate:
+                out.append(row.itemid)
+        return out
+
+    def stage(hist, hist_count, lam):
+        found = []
+        for is_up, col in ((True, "value_max"), (False, "value_min")):
+            e = env_of(col)
+            ids = cnt_filter(hist, stats_of(e), hist_count, lam, is_up)
+            means = hist.groupby("itemid")["value"].mean()
+            for i in ids:
+                d = e[e["itemid"] == i].sort_values("clock")
+                if d.empty:
+                    continue
+                pk = _ref_local_peak(d, density_window, is_up)
+                if (is_up and pk < means[i]) or (not is_up and pk > means[i]):
+                    found.append(i)
+        return found
+
+    a = stage(cache, len(base_clocks), lam1)
+    hist2 = cache[~cache["itemid"].isin(a) & (cache["clock"] >= startep2)]
+    b = stage(hist2, len([c for c in base_clocks if c >= startep2]), lam2)
+    return sorted(set(a + b))
+
+
+def test_detect3_on_reference_fixture(spark):
+    from pyanomalydetector_spark.operators.detect import detect3
+    items = sorted(ITEM_IDS)
+    endep3 = ENDEP                      # detect3 test runs at the same endep
+    cache_start = endep3 - 86400
+    t_start = endep3 - 86400 * 14
+    startep2 = endep3 - 600 * 6
+    density_window = 600 * 18
+    # default.yml values (empty survivor set) AND a sensitized config that
+    # yields a non-empty set — parity must hold for both
+    configs = [(1.0, 2.0, 0.8), (1.0, 1.0, 0.05)]
+
+    grid_lo = t_start - t_start % 600
+    grid_hi = endep3 - endep3 % 600
+    base_clocks = list(range(grid_lo, grid_hi + 600, 600))
+
+    raw = read_metrics_csv(spark, os.path.join(FIX, "history.csv.gz"),
+                           HISTORY_SCHEMA, item_ids=items)
+    cache_sdf = resample_to_grid_exact(raw, cache_start, endep3, 600)
+    cache = cache_sdf.orderBy("itemid", "clock").toPandas()
+
+    with gzip.open(os.path.join(FIX, "trends.csv.gz"), "rt") as f:
+        tr = pd.read_csv(f)
+    env = tr[tr["itemid"].isin(items)
+             & (tr["clock"] >= t_start) & (tr["clock"] <= startep2)]
+
+    env_sdf = spark.createDataFrame(
+        env[["itemid", "clock", "value_min", "value_avg", "value_max"]])
+    saw_nonempty = False
+    for lam1, lam2, rate in configs:
+        expected = _pandas_detect3_oracle(cache, env, base_clocks, startep2,
+                                          lam1, lam2, rate, density_window)
+        cfg = DetectorConfig(detect3_lambda_threshold1=lam1,
+                             detect3_lambda_threshold2=lam2,
+                             anomaly_valid_count_rate=rate,
+                             history_interval=600, history_retention=18,
+                             strict_reference_peaks=True)
+        ours = sorted(r["itemid"] for r in detect3(
+            cache_sdf, env_sdf, len(base_clocks),
+            len([c for c in base_clocks if c >= startep2]), startep2,
+            cfg).collect())
+        assert ours == expected, (lam1, lam2, rate)
+        saw_nonempty = saw_nonempty or bool(expected)
+    assert saw_nonempty
