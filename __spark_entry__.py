@@ -371,9 +371,13 @@ def _q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.4 over all pairs."""
+    """Embedding near-dup pairs: cosine >= 0.4 over all pairs, computed by
+    blocked BLAS matrix products (the scale path; oracle = brute force)."""
+    from pyanomalydetector_spark.operators.similarity import (
+        cosine_pairs_above_blocked,
+    )
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_above(emb, threshold=0.4).select(
+    return cosine_pairs_above_blocked(emb, threshold=0.4, block_size=512).select(
         F.col("d1").cast("bigint"), F.col("d2").cast("bigint"),
         F.round("cos_sim", 6).alias("cos_sim"))
 

@@ -136,3 +136,65 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)) \
                  .filter(F.col("rank") <= k)
+
+
+def cosine_pairs_above_blocked(emb: DataFrame, threshold: float = 0.95,
+                               block_size: int = 1024,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id") -> DataFrame:
+    """All-pairs cosine ≥ threshold via blocked matrix products — the scale
+    path for embedding near-dup detection.
+
+    Vectors are L2-normalized once, grouped into blocks of ``block_size``,
+    and the (upper-triangular) block-pair grid is joined; each block pair
+    computes an entire [block × block] similarity tile with one BLAS matmul
+    inside an Arrow-batched UDF. Compute per task is O(block² · d) dense
+    math (numpy), shuffle is O(N/block · d) block rows — compared to the
+    per-pair expression fold this is ~10-100× less overhead, and the block
+    grid distributes across the cluster. Same output contract as
+    :func:`cosine_pairs_above` (values agree within float round-off; both
+    round to 6 decimals downstream).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    unit = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x: F.try_divide(x, _norm(_as_double(F.col(vec_col)))))
+    blocks = (
+        emb.select(F.col(id_col).cast("long").alias("vid"), unit.alias("_u"),
+                   F.floor(F.col(id_col) / block_size).alias("_b"))
+           .groupBy("_b")
+           .agg(F.collect_list(F.struct("vid", "_u")).alias("rows"))
+    )
+    a = blocks.select(F.col("_b").alias("ba"), F.col("rows").alias("rows_a"))
+    b = blocks.select(F.col("_b").alias("bb"), F.col("rows").alias("rows_b"))
+    grid = a.join(b, F.col("ba") <= F.col("bb"))
+
+    out_schema = StructType([
+        StructField("d1", LongType()), StructField("d2", LongType()),
+        StructField("cos_sim", DoubleType()),
+    ])
+
+    def tile(batches):
+        for pdf in batches:
+            d1s, d2s, sims = [], [], []
+            for _, row in pdf.iterrows():
+                ra, rb = row["rows_a"], row["rows_b"]
+                ia = np.array([r["vid"] for r in ra])
+                ib = np.array([r["vid"] for r in rb])
+                ma = np.array([r["_u"] for r in ra])
+                mb = np.array([r["_u"] for r in rb])
+                s = ma @ mb.T
+                hit = np.argwhere(s >= threshold)
+                for x, y in hit:
+                    va, vb = int(ia[x]), int(ib[y])
+                    if va < vb:
+                        d1s.append(va); d2s.append(vb)
+                        sims.append(float(s[x, y]))
+            yield pd.DataFrame({"d1": d1s, "d2": d2s, "cos_sim": sims})
+
+    return grid.mapInPandas(tile, out_schema)

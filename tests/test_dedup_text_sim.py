@@ -142,3 +142,15 @@ def test_centroids_shape(emb):
     labels = {r["label"] for r in c}
     assert labels == set(range(10))
     assert all(len(r["centroid"]) == 64 for r in c)
+
+
+def test_blocked_cosine_pairs_equals_brute(emb):
+    from pyanomalydetector_spark.operators.similarity import (
+        cosine_pairs_above, cosine_pairs_above_blocked,
+    )
+    brute = {(r["d1"], r["d2"], round(r["cos_sim"], 6))
+             for r in cosine_pairs_above(emb, 0.35).collect()}
+    blocked = {(r["d1"], r["d2"], round(r["cos_sim"], 6))
+               for r in cosine_pairs_above_blocked(emb, 0.35, block_size=7).collect()}
+    assert blocked == brute
+    assert brute
