@@ -54,10 +54,17 @@ SF01 = "/root/testdata/sf0.01"
 
 ALLOWED_SOURCE_RE = "^src[0-9]+$"  # the valid source universe (fixture defect: src_unknown)
 
-# Correctness runs at sf0.01 — pin the oracle's parquet path and synthesize
-# eagerly so the DuckDB side always finds it.
-_SEQ_SQL_PATH = synthesize_sequences(SF01)
-_SEQ = f"read_parquet('{_SEQ_SQL_PATH}')"
+# Correctness runs at sf0.01 — the oracle pins that parquet path, but the
+# synthesis is LAZY (first oracle_sql() call) so importing this module and
+# running entry()/queries at other SFs never depends on the sf0.01 fixture.
+_SEQ_CACHE: str | None = None
+
+
+def _seq_sql() -> str:
+    global _SEQ_CACHE
+    if _SEQ_CACHE is None:
+        _SEQ_CACHE = f"read_parquet('{synthesize_sequences(SF01)}')"
+    return _SEQ_CACHE
 
 
 def _allowed_sources(seq: DataFrame) -> list[str]:
@@ -238,15 +245,34 @@ def _q_ev_detect3_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("anom_cnt").cast("bigint").alias("anom_cnt"))
 
 
+_CASCADE_CFG = DetectorConfig(detect1_lambda_threshold=1.0,
+                              detect2_lambda_threshold=1.0,
+                              detect3_lambda_threshold1=1.5,
+                              detect3_lambda_threshold2=1.0,
+                              ignore_diff_rate=0.01,
+                              anomaly_valid_count_rate=0.001)
+
+
 def _q_ev_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full detect1→2→3 cascade (rows-only check: multi-stage orchestration)."""
-    cfg = DetectorConfig(detect1_lambda_threshold=1.0,
-                         detect2_lambda_threshold=1.0,
-                         detect3_lambda_threshold1=1.5,
+    """Full detect1→2→3→4 cascade (detect_anomalies.py:82-113, all four
+    reference stages; oracle = stagewise SQL composed by set intersection)."""
+    return detect_pipeline(spark, sf_dir, _CASCADE_CFG) \
+        .select(F.col("itemid").cast("bigint").alias("itemid"))
+
+
+def _q_ev_detect4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect4 = detect3(is_long_trend=True) (detect_anomalies.py:109-113,
+    detector.py:562-570): the envelope z-count cascade over the
+    ``long_trends_retention`` window with its own base-clock denominators."""
+    from pyanomalydetector_spark.operators.detect import detect3
+    from pyanomalydetector_spark.plans.pipeline import long_trends_window
+    hist, _ = _hist_trend(spark, sf_dir)
+    cfg = DetectorConfig(detect3_lambda_threshold1=1.5,
                          detect3_lambda_threshold2=1.0,
-                         ignore_diff_rate=0.01,
                          anomaly_valid_count_rate=0.001)
-    return detect_pipeline(spark, sf_dir, cfg) \
+    m = events_metrics(spark, sf_dir)
+    lt, hc4, hc4_2 = long_trends_window(m, cfg)
+    return detect3(hist, lt, hc4, hc4_2, _STARTEP2, cfg, is_long_trend=True) \
         .select(F.col("itemid").cast("bigint").alias("itemid"))
 
 
@@ -646,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_detect2": _q_ev_detect2,
         "ev_local_peak": _q_ev_local_peak,
         "ev_detect3_counts": _q_ev_detect3_counts,
+        "ev_detect4": _q_ev_detect4,
         "ev_cascade": _q_ev_cascade,
         "ev_grid_resample": _q_ev_grid_resample,
         "ev_minmax_normalize": _q_ev_minmax_normalize,
@@ -688,6 +715,132 @@ _TR = (f"(SELECT itemid, clock - clock % 86400 AS clock, "
        f"MAX(value) AS value_max, COUNT(*) AS value_cnt "
        f"FROM {_EV} ev WHERE clock >= {_T_START} AND clock < {_H_START} "
        f"GROUP BY 1, 2)")
+
+# detect4's long-trends envelope: same rollup over the long_trends_retention
+# window (detector.py:566-567)
+_T4_START = ENDEP - _CFG.trends_interval * _CFG.long_trends_retention
+_TR4 = (f"(SELECT itemid, clock - clock % 86400 AS clock, "
+        f"MIN(value) AS value_min, AVG(value) AS value_avg, "
+        f"MAX(value) AS value_max, COUNT(*) AS value_cnt "
+        f"FROM {_EV} ev WHERE clock >= {_T4_START} AND clock < {_H_START} "
+        f"GROUP BY 1, 2)")
+
+
+def _detect1_ctes(p: str, tr: str, hist: str, lam: float, min_cnt: int,
+                  rate: float) -> tuple[str, str]:
+    """detect1 (detector.py:185-230) as a DuckDB CTE chain; returns
+    (cte_defs, final_cte_name)."""
+    ctes = f"""
+        {p}t AS (SELECT itemid, AVG(value_avg) AS mean_t,
+                        COALESCE(STDDEV_SAMP(value_avg), 0) AS std_t,
+                        COUNT(*) AS cnt
+                 FROM {tr} tr GROUP BY itemid),
+        {p}h AS (SELECT itemid, AVG(value) AS mean_h FROM {hist} hh
+                 GROUP BY itemid),
+        {p}f AS (SELECT DISTINCT h.itemid
+                 FROM {p}h h JOIN {p}t t USING (itemid)
+                 WHERE t.cnt > {min_cnt} AND t.std_t > 0
+                   AND (mean_h > mean_t + {lam} * std_t
+                        OR mean_h < mean_t - {lam} * std_t)
+                   AND mean_t > 0 AND ABS(mean_h - mean_t) / mean_t > {rate})
+    """
+    return ctes, f"{p}f"
+
+
+def _detect2_ctes(p: str, tr: str, hist: str, lam: float,
+                  rate: float) -> tuple[str, str]:
+    """detect2 (detector.py:340-379, intended rel-diff guard) as CTEs."""
+    ctes = f"""
+        {p}fi AS (SELECT DISTINCT itemid,
+                         FIRST_VALUE(value) OVER
+                             (PARTITION BY itemid ORDER BY clock, value) AS fv
+                  FROM {hist} hh),
+        {p}r AS (SELECT h.itemid, MIN(h.value) - MAX(f.fv) AS rmin,
+                        MAX(h.value) - MAX(f.fv) AS rmax
+                 FROM {hist} h JOIN {p}fi f ON h.itemid = f.itemid
+                 GROUP BY h.itemid),
+        {p}du AS (SELECT itemid, value_max - LAG(value_max) OVER
+                         (PARTITION BY itemid ORDER BY clock) AS d
+                  FROM {tr} tr),
+        {p}su AS (SELECT itemid, AVG(d) AS mean, STDDEV_SAMP(d) AS std
+                  FROM {p}du WHERE d IS NOT NULL AND d <> 0
+                  GROUP BY itemid HAVING STDDEV_SAMP(d) > 0),
+        {p}dd AS (SELECT itemid, value_min - LAG(value_min) OVER
+                         (PARTITION BY itemid ORDER BY clock) AS d
+                  FROM {tr} tr),
+        {p}sd AS (SELECT itemid, AVG(d) AS mean, STDDEV_SAMP(d) AS std
+                  FROM {p}dd WHERE d IS NOT NULL AND d <> 0
+                  GROUP BY itemid HAVING STDDEV_SAMP(d) > 0),
+        {p}f AS (SELECT r.itemid FROM {p}r r JOIN {p}su s USING (itemid)
+                 WHERE ABS(r.rmax - s.mean) > {lam} * s.std
+                   AND ABS(r.rmax - s.mean) > {rate} * ABS(s.mean)
+                 UNION
+                 SELECT r.itemid FROM {p}r r JOIN {p}sd s USING (itemid)
+                 WHERE ABS(s.mean - r.rmin) > {lam} * s.std
+                   AND ABS(s.mean - r.rmin) > {rate} * ABS(s.mean))
+    """
+    return ctes, f"{p}f"
+
+
+def _detect3_ctes(p: str, tr: str, hist: str, lam1: float, lam2: float,
+                  rate: float, hist_count: int, hist_count2: int,
+                  startep2: int, window: int) -> tuple[str, str]:
+    """detect3/detect4 (detector.py:498-584) as CTEs: per-direction envelope
+    stats → z-count filter (stage A λ1, stage B λ2 over [startep2, ∞) minus
+    stage-A items) → local-peak guard (rangeBetween window mean)."""
+    w = window - 1
+    ctes = f"""
+        {p}su AS (SELECT itemid, AVG(value_max) AS mean,
+                         COALESCE(STDDEV_SAMP(value_max), 0) AS std
+                  FROM {tr} tr GROUP BY itemid),
+        {p}sd AS (SELECT itemid, AVG(value_min) AS mean,
+                         COALESCE(STDDEV_SAMP(value_min), 0) AS std
+                  FROM {tr} tr GROUP BY itemid),
+        {p}pu AS (SELECT itemid, MAX(wm) AS pk FROM (
+                      SELECT itemid, AVG(value_max) OVER (PARTITION BY itemid
+                          ORDER BY clock RANGE BETWEEN {w} PRECEDING
+                          AND CURRENT ROW) AS wm
+                      FROM {tr} tr) wu GROUP BY itemid),
+        {p}pd AS (SELECT itemid, MIN(wm) AS pk FROM (
+                      SELECT itemid, AVG(value_min) OVER (PARTITION BY itemid
+                          ORDER BY clock RANGE BETWEEN {w} PRECEDING
+                          AND CURRENT ROW) AS wm
+                      FROM {tr} tr) wd GROUP BY itemid),
+        {p}hm AS (SELECT itemid, AVG(value) AS m FROM {hist} h
+                  GROUP BY itemid),
+        {p}cua AS (SELECT h.itemid FROM {hist} h JOIN {p}su s USING (itemid)
+                   WHERE h.value > s.mean + {lam1} * s.std
+                   GROUP BY h.itemid
+                   HAVING COUNT(*) / CAST({hist_count} AS DOUBLE) > {rate}),
+        {p}cda AS (SELECT h.itemid FROM {hist} h JOIN {p}sd s USING (itemid)
+                   WHERE h.value < s.mean - {lam1} * s.std
+                   GROUP BY h.itemid
+                   HAVING COUNT(*) / CAST({hist_count} AS DOUBLE) > {rate}),
+        {p}a AS (SELECT c.itemid FROM {p}cua c JOIN {p}pu USING (itemid)
+                     JOIN {p}hm USING (itemid) WHERE pk < m
+                 UNION
+                 SELECT c.itemid FROM {p}cda c JOIN {p}pd USING (itemid)
+                     JOIN {p}hm USING (itemid) WHERE pk > m),
+        {p}h2 AS (SELECT * FROM {hist} h WHERE clock >= {startep2}
+                  AND itemid NOT IN (SELECT itemid FROM {p}a)),
+        {p}hm2 AS (SELECT itemid, AVG(value) AS m FROM {p}h2 GROUP BY itemid),
+        {p}cub AS (SELECT h.itemid FROM {p}h2 h JOIN {p}su s USING (itemid)
+                   WHERE h.value > s.mean + {lam2} * s.std
+                   GROUP BY h.itemid
+                   HAVING COUNT(*) / CAST({hist_count2} AS DOUBLE) > {rate}),
+        {p}cdb AS (SELECT h.itemid FROM {p}h2 h JOIN {p}sd s USING (itemid)
+                   WHERE h.value < s.mean - {lam2} * s.std
+                   GROUP BY h.itemid
+                   HAVING COUNT(*) / CAST({hist_count2} AS DOUBLE) > {rate}),
+        {p}f AS (SELECT itemid FROM {p}a
+                 UNION
+                 SELECT c.itemid FROM {p}cub c JOIN {p}pu USING (itemid)
+                     JOIN {p}hm2 USING (itemid) WHERE pk < m
+                 UNION
+                 SELECT c.itemid FROM {p}cdb c JOIN {p}pd USING (itemid)
+                     JOIN {p}hm2 USING (itemid) WHERE pk > m)
+    """
+    return ctes, f"{p}f"
 
 
 # word-3-gram Jaccard brute force (shared by the brute and MinHash queries —
@@ -733,10 +886,39 @@ _QUALITY_BASE = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from pyanomalydetector_spark.plans.pipeline import _grid_counts
+    _SEQ = _seq_sql()
     hist_count = (ENDEP - ENDEP % 3600 - (_T_START - _T_START % 3600)) // 3600 + 1
     grid_lo = _H_START - _H_START % 3600
     grid_hi = ENDEP - ENDEP % 3600
+
+    # detect3/4 grid denominators and the stagewise cascade composition
+    dens_win = _CFG.history_interval * _CFG.history_retention
+    hc3, hc3_2 = _grid_counts(_T_START, ENDEP, _STARTEP2, _CFG.history_interval)
+    hc4, hc4_2 = _grid_counts(_T4_START, ENDEP, _STARTEP2, _CFG.history_interval)
+
+    d4_ctes, d4_fin = _detect3_ctes("d4_", _TR4, _HIST, 1.5, 1.0, 0.001,
+                                    hc4, hc4_2, _STARTEP2, dens_win)
+    c1_ctes, c1_fin = _detect1_ctes("c1_", _TR, _HIST, 1.0, 3, 0.01)
+    c2_ctes, c2_fin = _detect2_ctes("c2_", _TR, _HIST, 1.0, 0.01)
+    c3_ctes, c3_fin = _detect3_ctes("c3_", _TR, _HIST, 1.5, 1.0, 0.001,
+                                    hc3, hc3_2, _STARTEP2, dens_win)
+    c4_ctes, c4_fin = _detect3_ctes("c4_", _TR4, _HIST, 1.5, 1.0, 0.001,
+                                    hc4, hc4_2, _STARTEP2, dens_win)
+    # each stage's per-item predicate is independent of which other items are
+    # present, so "stage over previous survivors" ≡ "stage over all items ∩
+    # previous survivors" — the cascade oracle is a chain of INTERSECTs.
+    cascade_sql = f"""
+        WITH {c1_ctes}, {c2_ctes}, {c3_ctes}, {c4_ctes},
+        s1 AS (SELECT itemid FROM {c1_fin}),
+        s2 AS (SELECT itemid FROM {c2_fin} INTERSECT SELECT itemid FROM s1),
+        s3 AS (SELECT itemid FROM {c3_fin} INTERSECT SELECT itemid FROM s2)
+        SELECT itemid FROM {c4_fin} INTERSECT SELECT itemid FROM s3
+    """
+
     return {
+        "ev_detect4": f"WITH {d4_ctes} SELECT itemid FROM {d4_fin}",
+        "ev_cascade": cascade_sql,
         "ev_rollup": f"""
             SELECT itemid, clock,
                    ROUND(value_min, 6) AS value_min,

@@ -56,6 +56,10 @@ class DetectorConfig:
     # replicate the reference's local-peak anchored-stride walk
     # (detector.py:435-457) instead of the every-row rangeBetween window.
     strict_reference_peaks: bool = False
+    # replicate the reference's literal detect1 guard (detector.py:218 parses
+    # as ``mean_t > (0 & mask)`` — the rel-diff filter is a no-op), i.e.
+    # guard = mean_t > 0 only. False (default) uses the intended semantics.
+    strict_reference_detect1_guard: bool = False
 
 
 def detect1(history_df: DataFrame, trends_df: DataFrame,
@@ -78,9 +82,14 @@ def detect1(history_df: DataFrame, trends_df: DataFrame,
     lam = cfg.detect1_lambda_threshold
     band = (F.col("mean_h") > F.col("mean_t") + lam * F.col("std_t")) | \
            (F.col("mean_h") < F.col("mean_t") - lam * F.col("std_t"))
-    dev = F.abs(F.col("mean_h") - F.col("mean_t"))
-    guard = (F.col("mean_t") > 0) & \
-            (F.try_divide(dev, F.col("mean_t")) > cfg.ignore_diff_rate)
+    if cfg.strict_reference_detect1_guard:
+        # detector.py:218's literal runtime behavior: the precedence bug makes
+        # the rel-diff term vanish, leaving only the positivity gate.
+        guard = F.col("mean_t") > 0
+    else:
+        dev = F.abs(F.col("mean_h") - F.col("mean_t"))
+        guard = (F.col("mean_t") > 0) & \
+                (F.try_divide(dev, F.col("mean_t")) > cfg.ignore_diff_rate)
     return j.filter(band & guard).select("itemid").distinct()
 
 
@@ -290,10 +299,23 @@ def detect3(history_df: DataFrame, trends_df: DataFrame,
 def detect_cascade(history_df: DataFrame, trends_df: DataFrame,
                    recent_df: DataFrame, cfg: DetectorConfig,
                    hist_count: int, hist_count2: int,
-                   startep2: int) -> DataFrame:
+                   startep2: int,
+                   long_trends_df: DataFrame | None = None,
+                   hist_count4: int | None = None,
+                   hist_count4_2: int | None = None,
+                   stages: tuple[int, ...] = (1, 2, 3, 4)) -> DataFrame:
     """The full cascade (detect_anomalies.py:82-113): each stage only sees the
     previous stage's survivors — a chain of semi-joins, early-exit checked by
-    the driver between stages.
+    the driver between stages. ``stages`` mirrors the reference's
+    ``detection_stages`` list (e.g. ``(1, 4)`` is the detect1+detect4 combo of
+    tests/test_detector_all.py:10-12); skipped stages pass survivors through.
+
+    detect4 (STAGE_DETECT4, detect_anomalies.py:109-113) is
+    ``detect3(is_long_trend=True)`` — the same envelope cascade over the
+    ``long_trends_retention`` window (detector.py:562-570), with base-clock
+    denominators ``hist_count4``/``hist_count4_2`` computed over that longer
+    span. ``long_trends_df`` is its envelope rollup; stage 4 runs only when
+    both ``4 in stages`` and ``long_trends_df is not None``.
 
     ``history_df``: short recent window; ``recent_df``: the detect2/3 recent
     slice; ``trends_df``: envelope rollup.
@@ -311,17 +333,40 @@ def detect_cascade(history_df: DataFrame, trends_df: DataFrame,
     history_df = history_df.localCheckpoint()
     recent_df = history_df if same_recent else recent_df.localCheckpoint()
 
-    s1 = detect1(history_df, trends_df.select(
-        "itemid", "clock", F.col("value_avg").alias("value")), cfg).localCheckpoint()
-    if s1.isEmpty():
-        return s1
+    survivors = None   # None = all items (reference: empty list → itemIds)
 
-    h2 = recent_df.join(s1, "itemid")  # left_semi by key set
-    t2 = trends_df.join(s1, "itemid")
-    s2 = detect2(h2, t2, cfg).localCheckpoint()
-    if s2.isEmpty():
-        return s2
+    if 1 in stages:
+        survivors = detect1(history_df, trends_df.select(
+            "itemid", "clock", F.col("value_avg").alias("value")), cfg) \
+            .localCheckpoint()
+        if survivors.isEmpty():
+            return survivors
 
-    h3 = recent_df.join(s2, "itemid").localCheckpoint()
-    t3 = trends_df.join(s2, "itemid").localCheckpoint()
-    return detect3(h3, t3, hist_count, hist_count2, startep2, cfg)
+    def narrowed(df: DataFrame) -> DataFrame:
+        return df if survivors is None else df.join(survivors, "itemid")
+
+    if 2 in stages:
+        s2 = detect2(narrowed(recent_df), narrowed(trends_df), cfg) \
+            .localCheckpoint()
+        if s2.isEmpty():
+            return s2
+        survivors = s2
+
+    if 3 in stages:
+        h3 = narrowed(recent_df).localCheckpoint()
+        t3 = narrowed(trends_df).localCheckpoint()
+        s3 = detect3(h3, t3, hist_count, hist_count2, startep2, cfg) \
+            .localCheckpoint()
+        if s3.isEmpty():
+            return s3
+        survivors = s3
+
+    if 4 in stages and long_trends_df is not None:
+        h4 = narrowed(recent_df).localCheckpoint()
+        t4 = narrowed(long_trends_df.localCheckpoint()).localCheckpoint()
+        survivors = detect3(h4, t4, hist_count4, hist_count4_2, startep2,
+                            cfg, is_long_trend=True)
+
+    if survivors is None:
+        return history_df.select("itemid").distinct()
+    return survivors

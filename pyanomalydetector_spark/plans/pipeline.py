@@ -37,6 +37,18 @@ def events_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grid_counts(t_start: int, endep: int, startep2: int,
+                 unit: int) -> tuple[int, int]:
+    """Base-clock grid sizes (normalizer.get_base_clocks over [t_start, endep]
+    at ``unit``, detector.py:526, 544-545): full count and count >= startep2."""
+    base_lo = t_start - (t_start % unit)
+    base_hi = endep - (endep % unit)
+    full = (base_hi - base_lo) // unit + 1
+    recent = len([c for c in range(base_lo, base_hi + 1, unit)
+                  if c >= startep2])
+    return full, recent
+
+
 def split_windows(metrics: DataFrame, cfg: DetectorConfig,
                   endep: int = ENDEP) -> tuple[DataFrame, DataFrame, int, int, int]:
     """Split into (history_df, trends_env_df) around endep; also return the
@@ -50,26 +62,43 @@ def split_windows(metrics: DataFrame, cfg: DetectorConfig,
     trends_src = metrics.filter((F.col("clock") >= t_start) & (F.col("clock") < h_start))
     trends = tumbling_rollup(trends_src, cfg.trends_interval)
 
-    def grid_count(lo: int, hi: int, unit: int) -> int:
-        lo -= lo % unit
-        hi -= hi % unit
-        return (hi - lo) // unit + 1
-
-    hist_count = grid_count(t_start, endep, cfg.history_interval)
-    base_lo = t_start - (t_start % cfg.history_interval)
-    clocks2 = [c for c in range(base_lo, endep - (endep % cfg.history_interval) + 1,
-                                cfg.history_interval) if c >= startep2]
-    hist_count2 = len(clocks2)
+    hist_count, hist_count2 = _grid_counts(t_start, endep, startep2,
+                                           cfg.history_interval)
     return history, trends, hist_count, hist_count2, startep2
+
+
+def long_trends_window(metrics: DataFrame, cfg: DetectorConfig,
+                       endep: int = ENDEP) -> tuple[DataFrame, int, int]:
+    """detect4's inputs (detector.py:562-570): the envelope rollup over the
+    ``long_trends_retention`` window and its base-clock grid sizes."""
+    h_start = endep - cfg.history_interval * cfg.history_retention
+    t_start4 = endep - cfg.trends_interval * cfg.long_trends_retention
+    startep2 = endep - cfg.history_interval * cfg.history_recent_retention
+
+    src = metrics.filter((F.col("clock") >= t_start4) & (F.col("clock") < h_start))
+    long_trends = tumbling_rollup(src, cfg.trends_interval)
+    hist_count4, hist_count4_2 = _grid_counts(t_start4, endep, startep2,
+                                              cfg.history_interval)
+    return long_trends, hist_count4, hist_count4_2
 
 
 def detect_pipeline(spark: SparkSession, sf_dir: str,
                     cfg: DetectorConfig | None = None,
-                    endep: int = ENDEP) -> DataFrame:
-    """Full cascade over events; returns the surviving anomaly key set."""
+                    endep: int = ENDEP,
+                    stages: tuple[int, ...] = (1, 2, 3, 4)) -> DataFrame:
+    """Full cascade over events (detect1→2→3→4, like the reference's default
+    ``detection_stages``); returns the surviving anomaly key set."""
     cfg = cfg or DetectorConfig()
     metrics = events_metrics(spark, sf_dir)
     history, trends, hist_count, hist_count2, startep2 = \
         split_windows(metrics, cfg, endep)
+    long_trends = hist_count4 = hist_count4_2 = None
+    if 4 in stages:
+        long_trends, hist_count4, hist_count4_2 = \
+            long_trends_window(metrics, cfg, endep)
     return detect_cascade(history, trends, history, cfg,
-                          hist_count, hist_count2, startep2)
+                          hist_count, hist_count2, startep2,
+                          long_trends_df=long_trends,
+                          hist_count4=hist_count4,
+                          hist_count4_2=hist_count4_2,
+                          stages=stages)

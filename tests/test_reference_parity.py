@@ -352,6 +352,113 @@ def _pandas_detect3_oracle(cache: pd.DataFrame, env: pd.DataFrame,
     return sorted(set(a + b))
 
 
+def _load_detect3_fixture(spark, endep3, t_start, startep2):
+    """Shared fixture prep for detect3/detect4 parity: the grid-aligned
+    history cache and the [t_start, startep2] trends envelope."""
+    items = sorted(ITEM_IDS)
+    cache_start = endep3 - 86400
+    raw = read_metrics_csv(spark, os.path.join(FIX, "history.csv.gz"),
+                           HISTORY_SCHEMA, item_ids=items)
+    cache_sdf = resample_to_grid_exact(raw, cache_start, endep3, 600)
+    cache = cache_sdf.orderBy("itemid", "clock").toPandas()
+
+    with gzip.open(os.path.join(FIX, "trends.csv.gz"), "rt") as f:
+        tr = pd.read_csv(f)
+    env = tr[tr["itemid"].isin(items)
+             & (tr["clock"] >= t_start) & (tr["clock"] <= startep2)]
+    env_sdf = spark.createDataFrame(
+        env[["itemid", "clock", "value_min", "value_avg", "value_max"]])
+    return cache_sdf, cache, env_sdf, env
+
+
+def test_detect4_on_reference_fixture(spark):
+    """detect4 ≡ detect3(is_long_trend=True) (detect_anomalies.py:109-113,
+    detector.py:562-570): same cascade, long_trends_retention window and its
+    base-clock denominators. Parity vs the faithful pandas oracle over the
+    long window."""
+    from pyanomalydetector_spark.operators.detect import detect3
+    endep4 = ENDEP
+    t_start = endep4 - 86400 * 60            # long_trends_retention = 60
+    startep2 = endep4 - 600 * 6
+    density_window = 600 * 18
+
+    grid_lo = t_start - t_start % 600
+    grid_hi = endep4 - endep4 % 600
+    base_clocks = list(range(grid_lo, grid_hi + 600, 600))
+
+    cache_sdf, cache, env_sdf, env = _load_detect3_fixture(
+        spark, endep4, t_start, startep2)
+
+    saw_nonempty = False
+    # default-ish and sensitized configs — parity must hold for both
+    for lam1, lam2, rate in [(1.0, 2.0, 0.8), (1.0, 1.0, 0.01)]:
+        expected = _pandas_detect3_oracle(cache, env, base_clocks, startep2,
+                                          lam1, lam2, rate, density_window)
+        cfg = DetectorConfig(detect3_lambda_threshold1=lam1,
+                             detect3_lambda_threshold2=lam2,
+                             anomaly_valid_count_rate=rate,
+                             history_interval=600, history_retention=18,
+                             long_trends_retention=60,
+                             strict_reference_peaks=True)
+        ours = sorted(r["itemid"] for r in detect3(
+            cache_sdf, env_sdf, len(base_clocks),
+            len([c for c in base_clocks if c >= startep2]), startep2,
+            cfg, is_long_trend=True).collect())
+        assert ours == expected, (lam1, lam2, rate)
+        saw_nonempty = saw_nonempty or bool(expected)
+    assert saw_nonempty
+
+
+def test_detect1_plus_detect4_cascade_reference(spark):
+    """The reference's detect1+detect4 combo (tests/test_detector_all.py:10-12,
+    detection_stages=[STAGE_DETECT1, STAGE_DETECT4]) through detect_cascade
+    with stages=(1, 4): detect1 survivors feed detect4 directly, skipped
+    stages pass through. detect1 runs with the strict reference guard
+    (detector.py:218's literal precedence-bug semantics)."""
+    from pyanomalydetector_spark.operators.detect import detect_cascade
+
+    endep4 = ENDEP
+    t_start4 = endep4 - 86400 * 60
+    startep2 = endep4 - 600 * 6
+    grid_lo = t_start4 - t_start4 % 600
+    grid_hi = endep4 - endep4 % 600
+    base_clocks = list(range(grid_lo, grid_hi + 600, 600))
+    hc4 = len(base_clocks)
+    hc4_2 = len([c for c in base_clocks if c >= startep2])
+
+    # detect1 inputs: raw recent history + the T0-built trends stats window
+    history = read_metrics_csv(
+        spark, os.path.join(FIX, "history.csv.gz"), HISTORY_SCHEMA,
+        startep=ENDEP - 600 * 18, endep=ENDEP, item_ids=ITEM_IDS)
+    trends1 = read_metrics_csv(
+        spark, os.path.join(FIX, "trends.csv.gz"), TRENDS_SCHEMA,
+        startep=T0 - 86400 * 14, endep=T0, item_ids=ITEM_IDS)
+
+    cache_sdf, cache, env_sdf, env = _load_detect3_fixture(
+        spark, endep4, t_start4, startep2)
+
+    s1 = _pandas_detect1_oracle()
+    assert s1
+    expected = _pandas_detect3_oracle(
+        cache[cache["itemid"].isin(s1)], env[env["itemid"].isin(s1)],
+        base_clocks, startep2, 1.0, 1.0, 0.01, 600 * 18)
+
+    cfg = DetectorConfig(detect1_lambda_threshold=3.0, trends_min_count=14,
+                         strict_reference_detect1_guard=True,
+                         detect3_lambda_threshold1=1.0,
+                         detect3_lambda_threshold2=1.0,
+                         anomaly_valid_count_rate=0.01,
+                         history_interval=600, history_retention=18,
+                         long_trends_retention=60,
+                         strict_reference_peaks=True)
+    ours = sorted(r["itemid"] for r in detect_cascade(
+        history, trends1, cache_sdf, cfg,
+        hist_count=0, hist_count2=0, startep2=startep2,
+        long_trends_df=env_sdf, hist_count4=hc4, hist_count4_2=hc4_2,
+        stages=(1, 4)).collect())
+    assert ours == expected
+
+
 def test_detect3_on_reference_fixture(spark):
     from pyanomalydetector_spark.operators.detect import detect3
     items = sorted(ITEM_IDS)
