@@ -85,6 +85,15 @@ class Check:
 class CheckResult:
     verdicts: DataFrame
     violations: DataFrame
+    # frames persisted while building the plans (fused aggregates, KS count
+    # grids). Long-lived sessions (streaming micro-batches) must call
+    # unpersist() once verdicts/violations are materialized, or cached frames
+    # accumulate until LRU eviction.
+    cached: tuple = ()
+
+    def unpersist(self) -> None:
+        for frame in self.cached:
+            frame.unpersist()
 
 
 def _empty(spark: SparkSession, schema: StructType) -> DataFrame:
@@ -344,34 +353,55 @@ def _check_n_tok_consistency(df: DataFrame, check: Check, pcol: str) -> CheckRes
 def _check_token_invariant(df: DataFrame, check: Check, pcol: str) -> CheckResult:
     """Token-array byte-equality vs a trusted snapshot DataFrame.
 
-    Join on doc_id; candidates flagged by (xxhash64(tokens), size) mismatch,
-    then confirmed with exact array equality — the cheap-hash-then-exact
-    discipline keeps the comparison JVM-side and shuffle-light.
+    Scale discipline (same as ``exact_duplicate_groups``, dedup.py:56-80):
+    only scan-side digests ``(doc_id, xxhash64(tokens), size(tokens))`` —
+    ~24 bytes/row — ever cross a shuffle; the token payload itself is NEVER
+    shuffled (at 100 TB the old payload-carrying join moved ~2× the corpus
+    over the wire to find a handful of mismatches). Digest-mismatch
+    candidates (a tiny set) are exact-confirmed by re-scanning BOTH sides
+    through broadcast joins on the candidate keys, so a flagged row is always
+    verified against the actual arrays (xxhash64 collisions can't produce
+    false positives; pinned by tests/test_explain_plans.py's no-tokens-
+    below-shuffle gate).
     """
     expected_df: DataFrame = check.params["expected"]
     exp = expected_df.select(
-        F.col("doc_id"),
+        "doc_id",
         F.xxhash64("tokens").alias("_exp_hash"),
         F.size("tokens").alias("_exp_len"),
-        F.col("tokens").alias("_exp_tokens"),
+    ).dropDuplicates(["doc_id"])
+    obs = df.select(
+        pcol, "doc_id",
+        F.xxhash64("tokens").alias("_obs_hash"),
+        F.size("tokens").alias("_obs_len"),
     ).dropDuplicates(["doc_id"])
 
-    j = df.select(pcol, "doc_id", "tokens").dropDuplicates(["doc_id"]) \
-          .join(exp, "doc_id", "left")
     mismatch = (
         F.col("_exp_hash").isNull()
-        | (F.xxhash64("tokens") != F.col("_exp_hash"))
-        | (F.size("tokens") != F.col("_exp_len"))
+        | (F.col("_obs_hash") != F.col("_exp_hash"))
+        | (F.col("_obs_len") != F.col("_exp_len"))
     )
-    # exact confirm only on hash-mismatch candidates
-    confirmed_bad = mismatch & (
-        F.col("_exp_tokens").isNull() | (F.col("tokens") != F.col("_exp_tokens"))
-    )
-    flagged = j.withColumn("_bad", confirmed_bad)
-    per_part = flagged.groupBy(F.col(pcol).alias("partition_id")).agg(
-        F.count(F.lit(1)).alias("rows_scanned"),
-        F.sum(F.when(F.col("_bad"), 1).otherwise(0)).alias("n_bad"),
-    )
+    cand = obs.join(exp, "doc_id", "left").filter(mismatch)
+
+    # exact confirm: re-scan ONLY candidate rows, keys broadcast to the scans
+    keys = cand.select("doc_id")
+    obs_tok = df.join(F.broadcast(keys), "doc_id") \
+                .select("doc_id", "tokens").dropDuplicates(["doc_id"])
+    exp_tok = expected_df.join(F.broadcast(keys), "doc_id") \
+                         .select("doc_id", F.col("tokens").alias("_exp_tokens")) \
+                         .dropDuplicates(["doc_id"])
+    confirmed = obs_tok.join(F.broadcast(exp_tok), "doc_id", "left") \
+        .filter(F.col("_exp_tokens").isNull()
+                | (F.col("tokens") != F.col("_exp_tokens"))) \
+        .select("doc_id")
+    bad = cand.join(F.broadcast(confirmed), "doc_id", "left_semi")
+
+    rows = obs.groupBy(F.col(pcol).alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("rows_scanned"))
+    n_bad = bad.groupBy(F.col(pcol).alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_bad"))
+    per_part = rows.join(n_bad, "partition_id", "left") \
+                   .withColumn("n_bad", F.coalesce("n_bad", F.lit(0)))
     verdicts = per_part.select(
         "partition_id",
         F.lit(check.check_id).alias("check_id"),
@@ -382,11 +412,11 @@ def _check_token_invariant(df: DataFrame, check: Check, pcol: str) -> CheckResul
         F.col("n_bad").alias("n_violations"),
         F.col("rows_scanned"),
     )
-    viol = flagged.filter(F.col("_bad")).select(
+    viol = bad.select(
         F.col(pcol).alias("partition_id"),
         F.lit(check.check_id).alias("check_id"),
         F.col("doc_id"),
-        F.xxhash64("tokens").cast("string").alias("observed"),
+        F.col("_obs_hash").cast("string").alias("observed"),
         F.coalesce(F.col("_exp_hash").cast("string"), F.lit("<absent>"))
          .alias("expected"),
     )
@@ -397,6 +427,7 @@ def _check_drift(df: DataFrame, check: Check, pcol: str, stat: str) -> CheckResu
     value_col = check.params.get("value_col", "n_tok")
     threshold = float(check.params.get("threshold", 0.2))
     baseline = check.params.get("baseline")  # optional raw DataFrame
+    cache_registry: list = []
 
     if stat == "psi":
         pinned = check.params.get("pinned_hist")
@@ -416,7 +447,8 @@ def _check_drift(df: DataFrame, check: Check, pcol: str, stat: str) -> CheckResu
             from pyanomalydetector_spark.checks.drift import ks_by_partition_counts
             scored = ks_by_partition_counts(df, pcol, value_col, base_counts)
         else:
-            scored = ks_by_partition(df, pcol, value_col, baseline=baseline)
+            scored = ks_by_partition(df, pcol, value_col, baseline=baseline,
+                                     cache_registry=cache_registry)
         obs = "ks_d"
 
     rows = _rows_per_partition(df, pcol)
@@ -431,7 +463,8 @@ def _check_drift(df: DataFrame, check: Check, pcol: str, stat: str) -> CheckResu
         F.col("rows_scanned"),
     )
     return CheckResult(_finish_verdicts(verdicts),
-                       _empty(df.sparkSession, VIOLATION_SCHEMA))
+                       _empty(df.sparkSession, VIOLATION_SCHEMA),
+                       cached=tuple(cache_registry))
 
 
 _DISPATCH = {
@@ -491,10 +524,11 @@ def run_checks(df: DataFrame, checks: Iterable[Check],
         with ThreadPoolExecutor(max_workers=1 + len(rest)) as ex:
             fut_fused = ex.submit(run_fused, df, fused, partition_col)
             fut_rest = [ex.submit(run_rest, c) for c in rest]
-            v, w = fut_fused.result()
+            v, w, cached = fut_fused.result()
             rest_results = [f.result() for f in fut_rest]
     else:
-        v, w = run_fused(df, fused, partition_col) if fused else ([], [])
+        v, w, cached = run_fused(df, fused, partition_col) if fused \
+            else ([], [], [])
         rest_results = [run_rest(c) for c in rest]
 
     verdict_frames += v
@@ -502,6 +536,7 @@ def run_checks(df: DataFrame, checks: Iterable[Check],
     for res in rest_results:
         verdict_frames.append(res.verdicts)
         violation_frames.append(res.violations)
+        cached += list(res.cached)
 
     verdicts = _empty(spark, VERDICT_SCHEMA)
     for v in verdict_frames:
@@ -509,7 +544,7 @@ def run_checks(df: DataFrame, checks: Iterable[Check],
     violations = _empty(spark, VIOLATION_SCHEMA)
     for v in violation_frames:
         violations = violations.unionByName(v)
-    return CheckResult(verdicts, violations)
+    return CheckResult(verdicts, violations, cached=tuple(cached))
 
 
 def default_suite(allowed_sources: Iterable[str]) -> list[Check]:

@@ -85,12 +85,16 @@ def psi_by_partition(df: DataFrame, partition_col: str, value_col: str,
 
 
 def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
-                    baseline: DataFrame | None = None) -> DataFrame:
+                    baseline: DataFrame | None = None,
+                    cache_registry: list | None = None) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov D per partition vs baseline.
 
     D = max over the combined support of |CDF_partition − CDF_baseline|.
     Computed on the (partition × distinct-value) grid with window cumulative
     sums — distributed, no collect. Returns ``(partition_id, ks_d)``.
+
+    ``cache_registry``: persisted intermediates are appended here so a
+    long-lived caller can unpersist them after materializing the result.
     """
     v = F.col(value_col).cast("double").alias("v")
 
@@ -98,6 +102,8 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
         df.select(F.col(partition_col).alias("partition_id"), v)
           .groupBy("partition_id", "v").agg(F.count(F.lit(1)).alias("c_p"))
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(part_counts)
 
     if baseline is None:
         # self-baseline: the partition/value universe AND the baseline counts

@@ -113,8 +113,10 @@ def _global_mean_std(mtag: str) -> tuple[Column, Column]:
 
 
 def run_fused(df: DataFrame, checks: Sequence, pcol: str):
-    """Build the fused two-pass plan. Returns (verdicts, violations) lists of
-    *lazy* DataFrames, in the order of ``checks`` — no job runs here."""
+    """Build the fused two-pass plan. Returns (verdicts, violations, cached):
+    lists of *lazy* DataFrames in the order of ``checks`` plus the persisted
+    intermediates (for the caller to unpersist once materialized) — no job
+    runs here."""
     from pyanomalydetector_spark.checks.core import (  # local: avoid cycle
         _finish_verdicts, _finish_violations,
     )
@@ -346,7 +348,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
         )
         violations.append(_finish_violations(exploded))
 
-    return verdicts, violations
+    return verdicts, violations, [part_aggs]
 
 
 def split_fusible(checks: Iterable) -> tuple[list, list]:

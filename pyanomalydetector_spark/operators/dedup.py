@@ -174,14 +174,21 @@ def lsh_candidates(sig: DataFrame, bands: int = 10, rows: int = 3) -> DataFrame:
 
 def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
                         num_hashes: int = 30, bands: int = 10, rows: int = 3,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        cache_registry: list | None = None) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
     Output contract equals :func:`jaccard_pairs` (candidates are verified
     with true Jaccard), so the brute-force SQL oracle applies; only the
     candidate-generation cost differs — this is the 100 TB path.
+
+    The shingle frame is persisted (consumed by both the signature pass and
+    the exact-verify pass); long-lived callers pass ``cache_registry`` to
+    collect it for unpersist after the result is materialized.
     """
     sh = shingles(docs, k, text_col).persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
     cand = lsh_candidates(minhash_signatures(sh, num_hashes), bands, rows)
     verified = _pair_jaccard(sh).join(cand, ["d1", "d2"], "left_semi")
     return verified.filter(F.col("jaccard") >= threshold) \

@@ -167,6 +167,11 @@ def cosine_pairs_above_blocked(emb: DataFrame, threshold: float = 0.95,
     blocks = (
         emb.select(F.col(id_col).cast("long").alias("vid"), unit.alias("_u"),
                    F.floor(F.col(id_col) / block_size).alias("_b"))
+           # a zero-norm vector normalizes to NULL elements (try_divide);
+           # dropping it here matches the brute-force path (NULL cos_sim
+           # never clears the threshold) instead of crashing the BLAS tile
+           # with an object-dtype array
+           .filter(~F.exists("_u", lambda x: x.isNull() | F.isnan(x)))
            .groupBy("_b")
            .agg(F.collect_list(F.struct("vid", "_u")).alias("rows"))
     )

@@ -248,6 +248,7 @@ def run_with_checkpoint(df: DataFrame, checks: list[Check],
         res = run_checks(pending_df, pinned, partition_col)
         verdicts = res.verdicts.localCheckpoint()
         violations = res.violations.localCheckpoint()
+        res.unpersist()   # checkpoints are materialized; drop suite caches
         t_ms = (time.perf_counter() - t0) * 1000.0
 
         meta = [F.lit(shash).alias("suite_hash"),

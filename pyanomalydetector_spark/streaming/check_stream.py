@@ -10,7 +10,10 @@ violations are appended to the store with batch lineage. Semantics:
   data is judged against the established baseline, detector.py:185-230).
 - **Idempotent batches**: foreachBatch may redeliver after a failure; a
   ledger of applied batch ids makes re-processing a no-op (the reference's
-  watermark-upsert discipline, models/updates.py:17-28).
+  watermark-upsert discipline, models/updates.py:17-28). Results land in
+  per-batch directories written with overwrite and readers surface only
+  ledger-committed batches, so a crash between write and mark cannot
+  duplicate rows — the retry overwrites the orphaned partial output.
 - **Per-batch lineage**: each verdict row carries ``batch_id``; the driver
   can ask "which batch introduced these violations".
 
@@ -42,7 +45,13 @@ class StreamingSuiteRunner:
         self.suite = list(suite)
         self.shash = suite_hash(self.suite)
         self.pcol = partition_col
+        self.store_path = store_path
         self.ledger_path = os.path.join(store_path, "stream_ledger.json")
+
+    def _batch_dir(self, kind: str, batch_id: int) -> str:
+        """Per-batch result directory — overwrite-on-retry is idempotent."""
+        return os.path.join(self.store_path, f"stream_{kind}",
+                            f"batch_{int(batch_id)}")
 
     # ------------------------------------------------------------ ledger ---
     def _applied(self) -> set[int]:
@@ -76,27 +85,38 @@ class StreamingSuiteRunner:
         meta = [F.lit(self.shash).alias("suite_hash"),
                 F.lit("stream").alias("snapshot_id"),
                 F.lit(int(batch_id)).alias("run_id")]
+        # Idempotent redelivery: each batch OVERWRITES its own directory, and
+        # readers only surface batches recorded in the ledger — a crash
+        # between the write and _mark() leaves an invisible partial batch
+        # that the retry simply overwrites (no duplicate rows possible).
         res.verdicts.select("*", *meta) \
-           .write.mode("append").parquet(self.store.verdicts_dir)
+           .write.mode("overwrite").parquet(self._batch_dir("verdicts", batch_id))
         res.violations.select("*", *meta) \
-           .write.mode("append").parquet(self.store.violations_dir)
+           .write.mode("overwrite").parquet(self._batch_dir("violations", batch_id))
+        res.unpersist()    # micro-batch caches must not outlive the batch
         self._mark(batch_id)
 
     # ------------------------------------------------------------ results ---
-    def verdicts(self) -> DataFrame:
-        """All per-batch verdicts so far (batch lineage in ``run_id``)."""
-        return self.spark.read.parquet(self.store.verdicts_dir) \
+    def _read(self, kind: str) -> DataFrame:
+        """Union of COMMITTED batches only: a batch written but not yet in
+        the ledger (crash window) is invisible until its retry overwrites
+        and marks it — the reader side of the idempotency contract."""
+        dirs = [self._batch_dir(kind, b) for b in sorted(self._applied())]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            raise FileNotFoundError(f"no committed stream {kind} batches yet")
+        return self.spark.read.parquet(*dirs) \
                    .filter((F.col("suite_hash") == self.shash)
                            & (F.col("snapshot_id") == "stream")) \
                    .withColumnRenamed("run_id", "batch_id") \
                    .drop("suite_hash", "snapshot_id")
 
+    def verdicts(self) -> DataFrame:
+        """All per-batch verdicts so far (batch lineage in ``batch_id``)."""
+        return self._read("verdicts")
+
     def violations(self) -> DataFrame:
-        return self.spark.read.parquet(self.store.violations_dir) \
-                   .filter((F.col("suite_hash") == self.shash)
-                           & (F.col("snapshot_id") == "stream")) \
-                   .withColumnRenamed("run_id", "batch_id") \
-                   .drop("suite_hash", "snapshot_id")
+        return self._read("violations")
 
 
 def stream_check_suite(spark: SparkSession, input_dir: str,

@@ -73,3 +73,24 @@ def test_stream_batch_redelivery_noop(spark, seq, tmp_path):
     before = runner.verdicts().count()
     runner.apply_batch(seq.limit(50), 0)   # redelivered batch 0
     assert runner.verdicts().count() == before
+
+
+def test_stream_crash_between_write_and_mark_no_duplicates(spark, seq,
+                                                           tmp_path):
+    """The failure mode the per-batch-overwrite design targets: results
+    written but the ledger mark lost (crash window). The redelivered batch
+    must OVERWRITE, not append — verdicts()/violations() see each batch
+    exactly once."""
+    import json
+    runner = StreamingSuiteRunner(spark, str(tmp_path / "store"), _suite(seq))
+    runner.apply_batch(seq.limit(80), 0)
+    v_before = sorted(map(tuple, runner.verdicts().collect()))
+    viol_before = runner.violations().count()
+
+    # simulate the crash: forget the mark, keep the written files
+    with open(runner.ledger_path, "w") as f:
+        json.dump([], f)
+    runner.apply_batch(seq.limit(80), 0)   # redelivery re-processes fully
+
+    assert sorted(map(tuple, runner.verdicts().collect())) == v_before
+    assert runner.violations().count() == viol_before

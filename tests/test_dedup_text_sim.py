@@ -154,3 +154,26 @@ def test_blocked_cosine_pairs_equals_brute(emb):
                for r in cosine_pairs_above_blocked(emb, 0.35, block_size=7).collect()}
     assert blocked == brute
     assert brute
+
+
+def test_blocked_cosine_pairs_zero_norm_vector(spark, emb):
+    """A zero-norm vector must be dropped by the blocked path (matching the
+    brute path, where its NULL cos_sim never clears the threshold) instead
+    of poisoning the BLAS tile with an object-dtype array."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, FloatType
+    from pyanomalydetector_spark.operators.similarity import (
+        cosine_pairs_above, cosine_pairs_above_blocked,
+    )
+    dim = len(emb.select("embedding").first()["embedding"])
+    zero = spark.createDataFrame(
+        [(10_000, [0.0] * dim)], "vec_id long, embedding array<float>") \
+        .withColumn("embedding", F.col("embedding").cast(ArrayType(FloatType())))
+    with_zero = emb.select("vec_id", "embedding").unionByName(zero)
+    brute = {(r["d1"], r["d2"]) for r in
+             cosine_pairs_above(with_zero, 0.35).collect()}
+    blocked = {(r["d1"], r["d2"]) for r in
+               cosine_pairs_above_blocked(with_zero, 0.35,
+                                          block_size=7).collect()}
+    assert blocked == brute
+    assert all(10_000 not in pair for pair in blocked)

@@ -76,6 +76,35 @@ def test_hash_aggregate_not_sort_aggregate(spark, sf_dir):
     assert "SortAggregate" not in plan
 
 
+def test_token_invariant_no_payload_below_shuffle(spark, sf_dir):
+    """The snapshot-equality check must shuffle digests only (24 B/row):
+    no tokens attribute may appear in the output of any shuffle Exchange.
+    Broadcast exchanges (the tiny exact-confirm candidate set) are exempt —
+    that's the point of the digest-then-confirm design."""
+    from pyanomalydetector_spark.checks.core import Check, run_checks
+    seq = load_sequences(spark, sf_dir)
+    res = run_checks(seq, [Check("tok", "token_invariant", {"expected": seq})])
+
+    def shuffle_outputs(jplan, out):
+        if jplan.nodeName() == "Exchange":        # ShuffleExchangeExec
+            out.append([jplan.output().apply(i).name()
+                        for i in range(jplan.output().size())])
+        for i in range(jplan.children().size()):
+            shuffle_outputs(jplan.children().apply(i), out)
+        return out
+
+    for df in (res.verdicts, res.violations):
+        # executedPlan has the Exchanges (EnsureRequirements has run); unwrap
+        # the AQE node to its initial physical plan
+        jplan = df._jdf.queryExecution().executedPlan()
+        if jplan.nodeName().startswith("AdaptiveSparkPlan"):
+            jplan = jplan.initialPlan()
+        exchanges = shuffle_outputs(jplan, [])
+        assert exchanges
+        for cols in exchanges:
+            assert not any("tokens" in c.lower() for c in cols), cols
+
+
 def test_semi_join_stays_semi(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
