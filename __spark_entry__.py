@@ -67,6 +67,17 @@ def _seq_sql() -> str:
     return _SEQ_CACHE
 
 
+_MEDIA_CACHE: str | None = None
+
+
+def _media_sql() -> str:
+    global _MEDIA_CACHE
+    if _MEDIA_CACHE is None:
+        from pyanomalydetector_spark.sources.media import synthesize_media
+        _MEDIA_CACHE = f"read_parquet('{synthesize_media(SF01)}')"
+    return _MEDIA_CACHE
+
+
 def _allowed_sources(seq: DataFrame) -> list[str]:
     return sorted(
         r["source"]
@@ -534,19 +545,23 @@ def _q_seq_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched media feature extraction (mapInPandas plumbing with a
-    deterministic decode stub — rows-only check)."""
+    """REAL multimodal decode: PNG inflate+unfilter / WAV PCM decode inside
+    an Arrow-batched mapInPandas kernel; features are stats of the decoded
+    pixels/samples. Oracle = arithmetic recomputation from the fixture's
+    closed-form pixel/sample formulas (sources/media.py) — a hash match
+    proves the decoder actually decoded the bytes."""
+    from pyanomalydetector_spark.sources.media import load_media
     from pyanomalydetector_spark.operators.multimodal import (
-        synthesize_media, decode_features,
+        decode_media_features,
     )
-    media = synthesize_media(load_table(spark, sf_dir, "documents"))
-    out = decode_features(media, dim=16)
+    out = decode_media_features(load_media(spark, sf_dir))
+    f = F.col("features")
     return out.select(
         F.col("media_id").cast("bigint"), "media_type",
         F.col("n_bytes").cast("bigint").alias("n_bytes"), "digest",
-        F.round(F.aggregate("features", F.lit(0.0),
-                            lambda a, x: a + x.cast("double")), 6)
-         .alias("feat_sum"))
+        f[0].alias("f_dim1"), f[1].alias("f_dim2"),
+        F.round(f[2], 6).alias("f_mean"),
+        f[3].alias("f_min"), f[4].alias("f_max"))
 
 
 # --------------------------------------------- relational op coverage ----
@@ -843,6 +858,134 @@ def _detect3_ctes(p: str, tr: str, hist: str, lam1: float, lam2: float,
     return ctes, f"{p}f"
 
 
+def _suite_verdicts_sql(seq: str) -> str:
+    """Full default-suite verdicts with the baseline PINNED from the first
+    half of partitions — the oracle for both the checkpoint/resume and the
+    streaming queries (both establish their baseline from the first
+    half-partition run/batch, then judge every partition against it).
+
+    Columns: (partition_id, check_id, passed, observed, n_violations).
+    Formulas replicate checks/core.py + checks/drift.py (PSI smoothing 0.5,
+    pinned histogram bounds/counts and KS value-counts from the half)."""
+    return f"""
+    WITH half AS (
+        SELECT source FROM (SELECT DISTINCT source FROM {seq})
+        QUALIFY ROW_NUMBER() OVER (ORDER BY source)
+                <= (SELECT COUNT(DISTINCT source) FROM {seq}) // 2
+    ),
+    base AS (SELECT * FROM {seq} WHERE source IN (SELECT source FROM half)),
+    parts AS (SELECT DISTINCT source FROM {seq}),
+    cs AS (
+        SELECT source AS partition_id, 'column_stats_n_tok' AS check_id,
+               CASE WHEN COUNT(n_tok) >= 1 THEN 1 ELSE 0 END AS passed,
+               ROUND(CAST(COUNT(n_tok) AS DOUBLE), 6) AS observed,
+               CAST(0 AS BIGINT) AS n_violations
+        FROM {seq} GROUP BY source
+    ),
+    zb AS (SELECT AVG(n_tok) AS m, COALESCE(STDDEV_SAMP(n_tok), 0) AS s
+           FROM base),
+    zs AS (
+        SELECT source AS partition_id, 'zscore_n_tok' AS check_id,
+               CASE WHEN ABS(mh - m) > 2.0 * s AND m > 0
+                         AND ABS(mh - m) / m > 0.1 THEN 0 ELSE 1 END AS passed,
+               ROUND(mh, 6) AS observed,
+               CAST(0 AS BIGINT) AS n_violations
+        FROM (SELECT source, AVG(n_tok) AS mh FROM {seq} GROUP BY source), zb
+    ),
+    uq AS (
+        SELECT source AS partition_id, 'unique_doc_id' AS check_id,
+               CASE WHEN nd = 0 THEN 1 ELSE 0 END AS passed,
+               ROUND(CAST(nd AS DOUBLE), 6) AS observed,
+               CAST(nd AS BIGINT) AS n_violations
+        FROM (SELECT source, SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS nd
+              FROM (SELECT source, doc_id, COUNT(*) AS c FROM {seq}
+                    GROUP BY 1, 2)
+              GROUP BY source)
+    ),
+    rf AS (
+        SELECT p.source AS partition_id, 'referential_source' AS check_id,
+               CASE WHEN COALESCE(nb, 0) = 0 THEN 1 ELSE 0 END AS passed,
+               ROUND(CAST(COALESCE(nb, 0) AS DOUBLE), 6) AS observed,
+               CAST(COALESCE(nb, 0) AS BIGINT) AS n_violations
+        FROM parts p LEFT JOIN (
+            SELECT source, COUNT(*) AS nb FROM {seq}
+            WHERE NOT regexp_matches(source, '{ALLOWED_SOURCE_RE}')
+            GROUP BY source) b ON p.source = b.source
+    ),
+    nt AS (
+        SELECT source AS partition_id, 'n_tok_consistency' AS check_id,
+               CASE WHEN nb = 0 THEN 1 ELSE 0 END AS passed,
+               ROUND(CAST(nb AS DOUBLE), 6) AS observed,
+               CAST(nb AS BIGINT) AS n_violations
+        FROM (SELECT source,
+                     SUM(CASE WHEN n_tok <> len(tokens) THEN 1 ELSE 0 END) AS nb
+              FROM {seq} GROUP BY source)
+    ),
+    pb AS (SELECT CAST(MIN(n_tok) AS DOUBLE) AS lo,
+                  CAST(MAX(n_tok) AS DOUBLE) AS hi,
+                  CAST(COUNT(*) AS DOUBLE) AS nbase FROM base),
+    pbc AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS c_b FROM (
+                SELECT CASE WHEN hi = lo THEN 0
+                       ELSE LEAST(GREATEST(CAST(FLOOR(
+                            (CAST(n_tok AS DOUBLE) - lo) / ((hi - lo) / 10))
+                            AS BIGINT), 0), 9) END AS bucket
+                FROM base, pb) GROUP BY bucket),
+    ppc AS (SELECT source, bucket, CAST(COUNT(*) AS DOUBLE) AS c_p FROM (
+                SELECT source, CASE WHEN hi = lo THEN 0
+                       ELSE LEAST(GREATEST(CAST(FLOOR(
+                            (CAST(n_tok AS DOUBLE) - lo) / ((hi - lo) / 10))
+                            AS BIGINT), 0), 9) END AS bucket
+                FROM {seq}, pb) GROUP BY 1, 2),
+    pgrid AS (SELECT p.source, g.bucket FROM parts p,
+              (SELECT UNNEST(generate_series(0, 9)) AS bucket) g),
+    pj AS (SELECT pgrid.source, pgrid.bucket,
+                  COALESCE(ppc.c_p, 0) AS c_p, COALESCE(pbc.c_b, 0) AS c_b
+           FROM pgrid
+           LEFT JOIN ppc ON pgrid.source = ppc.source
+                        AND pgrid.bucket = ppc.bucket
+           LEFT JOIN pbc ON pgrid.bucket = pbc.bucket),
+    pnp AS (SELECT source, SUM(c_p) AS n_p FROM pj GROUP BY source),
+    ps AS (SELECT pj.source AS partition_id, 'drift_psi_n_tok' AS check_id,
+                  CASE WHEN SUM(
+                      ((c_p + 0.5)/(n_p + 5.0) - (c_b + 0.5)/(nbase + 5.0))
+                      * LN(((c_p + 0.5)/(n_p + 5.0))
+                           / ((c_b + 0.5)/(nbase + 5.0)))) <= 0.25
+                       THEN 1 ELSE 0 END AS passed,
+                  ROUND(SUM(
+                      ((c_p + 0.5)/(n_p + 5.0) - (c_b + 0.5)/(nbase + 5.0))
+                      * LN(((c_p + 0.5)/(n_p + 5.0))
+                           / ((c_b + 0.5)/(nbase + 5.0)))), 6) AS observed,
+                  CAST(0 AS BIGINT) AS n_violations
+           FROM pj JOIN pnp ON pj.source = pnp.source, pb
+           GROUP BY pj.source),
+    kvals AS (SELECT DISTINCT CAST(n_tok AS DOUBLE) AS v FROM {seq}),
+    kbc AS (SELECT CAST(n_tok AS DOUBLE) AS v, COUNT(*) AS c_b FROM base
+            GROUP BY 1),
+    kpc AS (SELECT source, CAST(n_tok AS DOUBLE) AS v, COUNT(*) AS c_p
+            FROM {seq} GROUP BY 1, 2),
+    kj AS (SELECT g.source, g.v, COALESCE(c_p, 0) AS c_p,
+                  COALESCE(c_b, 0) AS c_b
+           FROM (SELECT p.source, k.v FROM parts p, kvals k) g
+           LEFT JOIN kpc ON g.source = kpc.source AND g.v = kpc.v
+           LEFT JOIN kbc ON g.v = kbc.v),
+    kc AS (SELECT source,
+                  CAST(SUM(c_p) OVER (PARTITION BY source ORDER BY v)
+                       AS DOUBLE) / SUM(c_p) OVER (PARTITION BY source) AS cdf_p,
+                  CAST(SUM(c_b) OVER (PARTITION BY source ORDER BY v)
+                       AS DOUBLE) / SUM(c_b) OVER (PARTITION BY source) AS cdf_b
+           FROM kj),
+    ks AS (SELECT source AS partition_id, 'drift_ks_n_tok' AS check_id,
+                  CASE WHEN MAX(ABS(cdf_p - cdf_b)) <= 0.35
+                       THEN 1 ELSE 0 END AS passed,
+                  ROUND(MAX(ABS(cdf_p - cdf_b)), 6) AS observed,
+                  CAST(0 AS BIGINT) AS n_violations
+           FROM kc GROUP BY source)
+    SELECT * FROM cs UNION ALL SELECT * FROM zs UNION ALL SELECT * FROM uq
+    UNION ALL SELECT * FROM rf UNION ALL SELECT * FROM nt
+    UNION ALL SELECT * FROM ps UNION ALL SELECT * FROM ks
+    """
+
+
 # word-3-gram Jaccard brute force (shared by the brute and MinHash queries —
 # the LSH path is exact-verified, so the same oracle applies)
 _JACCARD_SQL = """
@@ -916,9 +1059,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT itemid FROM {c4_fin} INTERSECT SELECT itemid FROM s3
     """
 
+    suite_sql = _suite_verdicts_sql(_SEQ)
     return {
         "ev_detect4": f"WITH {d4_ctes} SELECT itemid FROM {d4_fin}",
         "ev_cascade": cascade_sql,
+        # resume ≡ one-shot under the first-half-pinned baseline; the stream
+        # query surfaces the same verdicts (per batch, each source appears in
+        # exactly one batch) without the observed column
+        "seq_checkpoint_resume": suite_sql,
+        "seq_stream_validate": f"""
+            SELECT partition_id, check_id, passed, n_violations
+            FROM ({suite_sql})
+        """,
+        # decoded-feature stats recomputed arithmetically from the fixture's
+        # closed-form pixel/sample formulas; digest pinned at synthesis
+        "mm_decode_features": f"""
+            WITH m AS (SELECT media_id, media_type,
+                              CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                              digest, width, height, sample_rate, n_samples
+                       FROM {_media_sql()}),
+            img AS (SELECT media_id, n_bytes, digest, width, height,
+                           unnest(generate_series(
+                               0, CAST(width AS BIGINT) * height - 1)) AS k
+                    FROM m WHERE media_type = 'image'),
+            imgf AS (SELECT media_id,
+                            CAST((media_id*7 + k*3) % 256 AS DOUBLE) AS px
+                     FROM img),
+            imga AS (SELECT media_id, AVG(px) AS f_mean, MIN(px) AS f_min,
+                            MAX(px) AS f_max
+                     FROM imgf GROUP BY media_id),
+            aud AS (SELECT media_id,
+                           unnest(generate_series(
+                               0, CAST(n_samples AS BIGINT) - 1)) AS k
+                    FROM m WHERE media_type = 'audio'),
+            audf AS (SELECT media_id,
+                            CAST((media_id*13 + k*7) % 2048 - 1024 AS DOUBLE)
+                                AS sv
+                     FROM aud),
+            auda AS (SELECT media_id, AVG(sv) AS f_mean, MIN(sv) AS f_min,
+                            MAX(sv) AS f_max
+                     FROM audf GROUP BY media_id)
+            SELECT m.media_id, m.media_type, m.n_bytes, m.digest,
+                   CAST(m.width AS DOUBLE) AS f_dim1,
+                   CAST(m.height AS DOUBLE) AS f_dim2,
+                   ROUND(a.f_mean, 6) AS f_mean, a.f_min, a.f_max
+            FROM m JOIN imga a ON m.media_id = a.media_id
+            WHERE m.media_type = 'image'
+            UNION ALL
+            SELECT m.media_id, m.media_type, m.n_bytes, m.digest,
+                   CAST(m.n_samples AS DOUBLE) AS f_dim1,
+                   CAST(m.sample_rate AS DOUBLE) AS f_dim2,
+                   ROUND(a.f_mean, 6) AS f_mean, a.f_min, a.f_max
+            FROM m JOIN auda a ON m.media_id = a.media_id
+            WHERE m.media_type = 'audio'
+        """,
         "ev_rollup": f"""
             SELECT itemid, clock,
                    ROUND(value_min, 6) AS value_min,

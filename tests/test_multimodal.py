@@ -1,14 +1,15 @@
-"""Multimodal plumbing: schemas, Arrow batch shapes, deterministic stubs."""
+"""Multimodal: real PNG/WAV codecs + generic Arrow plumbing/stubs."""
 
 import hashlib
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from pyanomalydetector_spark.sources.tables import load_table
 from pyanomalydetector_spark.operators.multimodal import (
-    synthesize_media, decode_features, frame_sample, resize_stub,
-    FEATURE_SCHEMA, FRAME_SCHEMA,
+    synthesize_media, decode_features, frame_sample, resize_images,
+    decode_media_features, FEATURE_SCHEMA, FRAME_SCHEMA,
 )
 
 
@@ -55,6 +56,99 @@ def test_frame_sample_covers_payload(media):
         assert len(fs) <= 4
 
 
-def test_resize_is_a_loud_stub(media):
-    with pytest.raises(NotImplementedError):
-        resize_stub(media, 224, 224)
+def test_resize_rejects_non_image(media):
+    with pytest.raises(Exception):   # NotImplementedError inside the worker
+        resize_images(media.limit(2), 224, 224).collect()
+
+
+# ------------------------------------------------ real codecs (stdlib) ----
+
+def test_png_roundtrip():
+    from pyanomalydetector_spark.sources.media import encode_png, decode_png
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+def test_png_decoder_unfilters_all_filter_types():
+    """The decoder must handle scanline filters 0-4 (Sub/Up/Average/Paeth),
+    not just the filter-0 stream our encoder writes — hand-build a filtered
+    IDAT and check against an independently computed expectation."""
+    import struct
+    import zlib
+    from pyanomalydetector_spark.sources.media import decode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(5, 8), dtype=np.uint8).astype(np.int32)
+    w = img.shape[1]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    filtered = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = img[y]
+        filtered.append(ftype)
+        for x in range(w):
+            a = row[x - 1] if x > 0 else 0
+            b = prev[x]
+            c = prev[x - 1] if x > 0 else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ftype]
+            filtered.append((int(row[x]) - int(pred)) & 0xFF)
+        prev = row
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, 5, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img.astype(np.uint8))
+
+
+def test_wav_roundtrip():
+    from pyanomalydetector_spark.sources.media import encode_wav, decode_wav
+    s = (np.arange(500) * 37 % 4096 - 2048).astype(np.int16)
+    out, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000
+    assert np.array_equal(out, s.astype(np.int32))
+
+
+def test_real_decode_features_match_formulas(spark, sf_dir):
+    from pyanomalydetector_spark.sources.media import (
+        load_media, image_pixels, audio_samples, AUDIO_RATE,
+    )
+    rm = load_media(spark, sf_dir)
+    rows = decode_media_features(rm).collect()
+    assert rows
+    for r in rows[:20]:
+        mid = r["media_id"]
+        if r["media_type"] == "image":
+            px = image_pixels(mid).astype(float)
+            exp = [px.shape[1], px.shape[0], px.mean(), px.min(), px.max()]
+        else:
+            s = audio_samples(mid).astype(float)
+            exp = [len(s), AUDIO_RATE, s.mean(), s.min(), s.max()]
+        got = list(r["features"])
+        assert got == pytest.approx(exp)
+
+
+def test_real_resize_shapes_and_pixels(spark, sf_dir):
+    from pyanomalydetector_spark.sources.media import (
+        load_media, decode_png, image_pixels,
+    )
+    rm = load_media(spark, sf_dir).filter(F.col("media_type") == "image")
+    out = resize_images(rm.limit(5), 8, 6).collect()
+    assert len(out) == 5
+    for r in out:
+        px = decode_png(bytes(r["payload"]))
+        assert px.shape == (6, 8)
+        src = image_pixels(r["media_id"])
+        ys = np.arange(6) * src.shape[0] // 6
+        xs = np.arange(8) * src.shape[1] // 8
+        assert np.array_equal(px, src[np.ix_(ys, xs)])
