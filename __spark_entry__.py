@@ -195,6 +195,29 @@ def _q_ev_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jdbc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 at production fidelity: the trends-window scan THROUGH a real
+    JDBC database (embedded Derby) with the clock-range predicate pushed
+    into SQL (zabbix_psql_getter.py:33-60 semantics) and a clock-partitioned
+    parallel read, then the daily envelope rollup. Same contract and oracle
+    as ev_rollup — proving the JDBC path yields identical results."""
+    from pyanomalydetector_spark.sources.jdbc import (
+        seed_events_jdbc, read_metrics_jdbc,
+    )
+    url = seed_events_jdbc(spark, sf_dir)
+    m = read_metrics_jdbc(spark, url, "metrics",
+                          startep=_T_START, endep=_H_START - 1,
+                          num_partitions=4)
+    tr = tumbling_rollup(m, _CFG.trends_interval)
+    return tr.select(
+        "itemid", "clock",
+        F.round("value_min", 6).alias("value_min"),
+        F.round("value_avg", 6).alias("value_avg"),
+        F.round("value_max", 6).alias("value_max"),
+        F.col("value_cnt").cast("bigint").alias("value_cnt"),
+    )
+
+
 def _q_ev_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """detect1 trend side: sufficient stats of daily value_avg per item."""
     _, trend = _hist_trend(spark, sf_dir)
@@ -445,10 +468,14 @@ def _q_seq_token_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ev_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6: declarative per-item conditions (detector.py:167-270 semantics) —
-    items matching a catalog filter must satisfy a metric threshold."""
-    from pyanomalydetector_spark.operators.conditions import (
-        Condition, apply_conditions,
+    """P6: declarative per-item conditions (detector.py:167-270 semantics),
+    loaded from the YAML fixture (samples/default.yml item_conds — the
+    reference's unified.yml:108-150 rule shape through config_loader
+    semantics): items matching a catalog filter must satisfy a metric
+    threshold."""
+    from pyanomalydetector_spark.operators.conditions import apply_conditions
+    from pyanomalydetector_spark.plans.config import (
+        load_config, conditions_from_config,
     )
     ev = load_table(spark, sf_dir, "events")
     m = events_metrics(spark, sf_dir)
@@ -458,8 +485,8 @@ def _q_ev_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = m.groupBy("itemid").agg(
         F.avg("value").alias("mean"),
         F.coalesce(F.stddev_samp("value"), F.lit(0.0)).alias("std"))
-    conds = [Condition("n_events > 66", "mean", ">", 48.0),
-             Condition("max_value < 222", "std", "<", 47.5)]
+    conf = load_config(os.path.join(_REPO, "samples", "default.yml"))
+    conds = conditions_from_config(conf, "events")
     return apply_conditions(stats, catalog, conds) \
         .select(F.col("itemid").cast("bigint").alias("itemid"))
 
@@ -681,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_drift_ks": _q_seq_drift_ks,
         "seq_token_invariant": _q_seq_token_invariant,
         "ev_rollup": _q_ev_rollup,
+        "jdbc_rollup": _q_jdbc_rollup,
         "ev_trend_stats": _q_ev_trend_stats,
         "ev_detect1": _q_ev_detect1,
         "ev_adjacent_diff_stats": _q_ev_adjacent_diff_stats,
@@ -1114,6 +1142,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE m.media_type = 'audio'
         """,
         "ev_rollup": f"""
+            SELECT itemid, clock,
+                   ROUND(value_min, 6) AS value_min,
+                   ROUND(value_avg, 6) AS value_avg,
+                   ROUND(value_max, 6) AS value_max,
+                   value_cnt
+            FROM {_TR} tr
+        """,
+        # the JDBC path must produce the SAME rollup as the parquet path
+        "jdbc_rollup": f"""
             SELECT itemid, clock,
                    ROUND(value_min, 6) AS value_min,
                    ROUND(value_avg, 6) AS value_avg,

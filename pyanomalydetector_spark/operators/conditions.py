@@ -25,11 +25,16 @@ _OPS = {">", "<", "=", ">=", "<="}
 @dataclass(frozen=True)
 class Condition:
     """One YAML rule: items matching ``filter_expr`` (over the catalog) must
-    satisfy ``metric <operator> <value>`` (over the stats frame)."""
+    satisfy ``metric <operator> <value>`` (over the stats frame).
+
+    ``operator is None`` is a pure-ignore rule: every matching item is
+    removed unconditionally (reference: a rule without ``condition`` makes
+    ``_evaluate_cond`` return False, detector.py:168-169 — e.g.
+    "ignore uptime", samples/unified.yml:117-118)."""
     filter_expr: str
     metric: str          # e.g. "mean_h" or "diff"
-    operator: str
-    value: float
+    operator: str | None
+    value: float | None
 
 
 def apply_conditions(stats_df: DataFrame, catalog_df: DataFrame,
@@ -43,10 +48,13 @@ def apply_conditions(stats_df: DataFrame, catalog_df: DataFrame,
     """
     survivors = stats_df.select(key).distinct()
     for cond in conds:
+        matched = catalog_df.filter(F.expr(cond.filter_expr)).select(key)
+        if cond.operator is None:       # pure-ignore rule: drop all matches
+            survivors = survivors.join(matched, key, "left_anti")
+            continue
         if cond.operator not in _OPS:
             raise ValueError(f"unsupported operator {cond.operator!r}")
         op = "==" if cond.operator == "=" else cond.operator
-        matched = catalog_df.filter(F.expr(cond.filter_expr)).select(key)
         failing = (
             stats_df.join(matched, key, "left_semi")
                     .filter(~F.expr(f"{cond.metric} {op} {cond.value}"))
