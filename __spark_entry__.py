@@ -443,9 +443,13 @@ def _q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed ANN (rows-only: approximate; recall asserted in tests)."""
+    """IVF-probed ANN over a TRAINED spherical-k-means codebook (distributed
+    Lloyd, deterministic init — rows-only: approximate; recall >= 0.9 vs the
+    exact baseline asserted in tests/test_dedup_text_sim.py)."""
+    from pyanomalydetector_spark.operators.similarity import ivf_topk_trained
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, ANN_QUERY_IDS, k=5, n_probe=3).select(
+    return ivf_topk_trained(emb, ANN_QUERY_IDS, k=5, n_probe=4,
+                            n_cells=16, n_iters=4).select(
         F.col("q_id").cast("bigint"), F.col("vec_id").cast("bigint"),
         F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("bigint").alias("rank"))
