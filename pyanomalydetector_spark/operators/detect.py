@@ -328,10 +328,28 @@ def detect_cascade(history_df: DataFrame, trends_df: DataFrame,
     # truncating here). This is the Spark analog of the reference's
     # materialized ``history`` cache (detector.py:112-146) and the standard
     # lineage-control pattern for iterative algorithms.
+    from concurrent.futures import ThreadPoolExecutor
+
+    # stage-boundary materializations are independent Spark jobs — submit
+    # them from threads so the scheduler overlaps their stages instead of
+    # idling cores between sequential jobs (same pattern as run_checks)
+    def ckpt_parallel(*dfs):
+        with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+            return [f.result() for f in
+                    [ex.submit(lambda d=d: d.localCheckpoint()) for d in dfs]]
+
     same_recent = recent_df is history_df
-    trends_df = trends_df.localCheckpoint()
-    history_df = history_df.localCheckpoint()
-    recent_df = history_df if same_recent else recent_df.localCheckpoint()
+    run4 = 4 in stages and long_trends_df is not None
+    heads = [trends_df, history_df]
+    if not same_recent:
+        heads.append(recent_df)
+    if run4:
+        heads.append(long_trends_df)
+    heads = ckpt_parallel(*heads)
+    trends_df, history_df = heads[0], heads[1]
+    recent_df = history_df if same_recent else heads[2]
+    if run4:
+        long_trends_df = heads[-1]
 
     survivors = None   # None = all items (reference: empty list → itemIds)
 
@@ -353,17 +371,15 @@ def detect_cascade(history_df: DataFrame, trends_df: DataFrame,
         survivors = s2
 
     if 3 in stages:
-        h3 = narrowed(recent_df).localCheckpoint()
-        t3 = narrowed(trends_df).localCheckpoint()
+        h3, t3 = ckpt_parallel(narrowed(recent_df), narrowed(trends_df))
         s3 = detect3(h3, t3, hist_count, hist_count2, startep2, cfg) \
             .localCheckpoint()
         if s3.isEmpty():
             return s3
         survivors = s3
 
-    if 4 in stages and long_trends_df is not None:
-        h4 = narrowed(recent_df).localCheckpoint()
-        t4 = narrowed(long_trends_df.localCheckpoint()).localCheckpoint()
+    if run4:
+        h4, t4 = ckpt_parallel(narrowed(recent_df), narrowed(long_trends_df))
         survivors = detect3(h4, t4, hist_count4, hist_count4_2, startep2,
                             cfg, is_long_trend=True)
 

@@ -263,17 +263,12 @@ def cosine_pairs_above_blocked(emb: DataFrame, threshold: float = 0.95,
         DoubleType, LongType, StructField, StructType,
     )
 
-    unit = F.transform(
-        _as_double(F.col(vec_col)),
-        lambda x: F.try_divide(x, _norm(_as_double(F.col(vec_col)))))
+    # raw vectors go to the kernel; L2-normalization happens in numpy there
+    # (one vectorized pass per block — cheaper than per-element JVM lambdas)
     blocks = (
-        emb.select(F.col(id_col).cast("long").alias("vid"), unit.alias("_u"),
+        emb.select(F.col(id_col).cast("long").alias("vid"),
+                   _as_double(F.col(vec_col)).alias("_u"),
                    F.floor(F.col(id_col) / block_size).alias("_b"))
-           # a zero-norm vector normalizes to NULL elements (try_divide);
-           # dropping it here matches the brute-force path (NULL cos_sim
-           # never clears the threshold) instead of crashing the BLAS tile
-           # with an object-dtype array
-           .filter(~F.exists("_u", lambda x: x.isNull() | F.isnan(x)))
            .groupBy("_b")
            .agg(F.collect_list(F.struct("vid", "_u")).alias("rows"))
     )
@@ -287,14 +282,21 @@ def cosine_pairs_above_blocked(emb: DataFrame, threshold: float = 0.95,
     ])
 
     def tile(batches):
+        def unit_rows(rows):
+            """ids + unit-normalized matrix; zero-norm/NaN vectors dropped
+            (matches the brute path, where their NULL cos_sim never clears
+            the threshold)."""
+            ids = np.array([r["vid"] for r in rows])
+            m = np.array([r["_u"] for r in rows], dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            keep = (norms > 0) & np.isfinite(norms) & np.isfinite(m).all(axis=1)
+            return ids[keep], m[keep] / norms[keep, None]
+
         for pdf in batches:
             d1s, d2s, sims = [], [], []
             for _, row in pdf.iterrows():
-                ra, rb = row["rows_a"], row["rows_b"]
-                ia = np.array([r["vid"] for r in ra])
-                ib = np.array([r["vid"] for r in rb])
-                ma = np.array([r["_u"] for r in ra])
-                mb = np.array([r["_u"] for r in rb])
+                ia, ma = unit_rows(row["rows_a"])
+                ib, mb = unit_rows(row["rows_b"])
                 s = ma @ mb.T
                 hit = np.argwhere(s >= threshold)
                 for x, y in hit:
