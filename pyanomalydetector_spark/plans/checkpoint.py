@@ -85,8 +85,29 @@ class PinnedBaseline:
     ks_value_cols: list = field(default_factory=list)  # stored as parquet
 
 
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg catalog whose classes are on the
+    classpath, else None. This is the production/gated backend switch: with
+    Iceberg present the state table is a real Iceberg table maintained with
+    ``MERGE INTO`` and snapshot-id lineage; without it (this sandbox ships
+    no Iceberg jars) the append-parquet emulation below provides the same
+    latest-run-wins contract, pinned by the same tests."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        return None
+    for k, v in spark.sparkContext.getConf().getAll():
+        parts = k.split(".")
+        if (k.startswith("spark.sql.catalog.") and len(parts) == 4
+                and "Catalog" in str(v)):
+            return parts[3]
+    return None
+
+
 class CheckpointStore:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 catalog: str | None = None):
         self.spark = spark
         self.path = path
         self.ckpt_dir = os.path.join(path, "checkpoint")
@@ -95,15 +116,47 @@ class CheckpointStore:
         self.baseline_json = os.path.join(path, "baseline.json")
         self.ks_dir = os.path.join(path, "ks_baseline")
         os.makedirs(path, exist_ok=True)
+        # Iceberg backend: explicit catalog, or auto-detected; None = parquet
+        self.catalog = catalog if catalog is not None else iceberg_catalog(spark)
+        if self.catalog:
+            tag = hashlib.sha256(path.encode()).hexdigest()[:12]
+            self.ckpt_table = f"{self.catalog}.anomdec.ckpt_{tag}"
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.anomdec")
+            spark.sql(f"CREATE TABLE IF NOT EXISTS {self.ckpt_table} "
+                      f"({CKPT_SCHEMA}) USING iceberg")
 
     # -------------------------------------------------------- state table ---
     def read_checkpoint(self) -> DataFrame:
+        if self.catalog:
+            return self.spark.table(self.ckpt_table)
         if not os.path.isdir(self.ckpt_dir):
             return self.spark.createDataFrame([], CKPT_SCHEMA)
         df = self.spark.read.parquet(self.ckpt_dir)
         w = Window.partitionBy("partition_id").orderBy(F.desc("run_id"))
         return df.withColumn("_rn", F.row_number().over(w)) \
                  .filter(F.col("_rn") == 1).drop("_rn")
+
+    def current_snapshot_id(self) -> str | None:
+        """Iceberg table snapshot id of the state table (lineage column in
+        production); None on the parquet backend (callers fall back to
+        :func:`snapshot_id_for_dir` input identity)."""
+        if not self.catalog:
+            return None
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.ckpt_table}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1").collect()
+        return str(rows[0]["snapshot_id"]) if rows else None
+
+    def expire_snapshots(self, older_than_ts: str) -> None:
+        """T7 retention at production fidelity (Iceberg only):
+        ``CALL <catalog>.system.expire_snapshots``. The parquet backend's
+        analog is plans/retention.evict_older_than."""
+        if not self.catalog:
+            raise RuntimeError("expire_snapshots needs the Iceberg backend")
+        self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots("
+            f"table => '{self.ckpt_table.split('.', 1)[1]}', "
+            f"older_than => TIMESTAMP '{older_than_ts}')")
 
     def done_partitions(self, shash: str, snap: str) -> list[str]:
         return [r["partition_id"] for r in
@@ -113,6 +166,24 @@ class CheckpointStore:
                     .select("partition_id").collect()]
 
     def merge(self, rows: DataFrame) -> None:
+        """Upsert the per-partition state rows.
+
+        Iceberg backend: a real ``MERGE INTO`` keyed on partition_id (one
+        live row per partition — re-running a crashed run re-merges the same
+        keys idempotently). Parquet backend: append + latest-run-wins read
+        (read_checkpoint), the same contract without transactional DDL.
+        """
+        if self.catalog:
+            rows.createOrReplaceTempView("_ckpt_incoming")
+            self.spark.sql(f"""
+                MERGE INTO {self.ckpt_table} t
+                USING _ckpt_incoming s
+                ON t.partition_id = s.partition_id
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *
+            """)
+            self.spark.catalog.dropTempView("_ckpt_incoming")
+            return
         rows.write.mode("append").parquet(self.ckpt_dir)
 
     # ----------------------------------------------------------- baseline ---

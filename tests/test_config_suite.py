@@ -95,6 +95,51 @@ def test_yaml_edit_invalidates_suite_hash(tmp_path):
     assert suite_hash(edited) != suite_hash(base)
 
 
+def test_run_detection_from_yaml(spark, sf_dir, tmp_path):
+    """detect_anomalies.run analog: YAML data_sources → cascade runs →
+    {source: itemids}, equal to calling detect_pipeline directly with the
+    same thresholds; stage selection mirrors detection_stages."""
+    from pyanomalydetector_spark.plans.run import (
+        run_detection, STAGE_DETECT1,
+    )
+    from pyanomalydetector_spark.plans.pipeline import detect_pipeline
+    from pyanomalydetector_spark.operators.detect import DetectorConfig
+
+    y = tmp_path / "run.yml"
+    y.write_text(
+        "detect1_lambda_threshold: 1.0\n"
+        "detect2_lambda_threshold: 1.0\n"
+        "detect3_lambda_threshold1: 1.5\n"
+        "detect3_lambda_threshold2: 1.0\n"
+        "ignore_diff_rate: 0.01\n"
+        "anomaly_valid_count_rate: 0.001\n"
+        "data_sources:\n"
+        "  events:\n"
+        f"    data_dir: \"{sf_dir}\"\n")
+    conf = load_config(str(y))
+    got = run_detection(spark, conf)
+    assert set(got) == {"events"}
+
+    cfg = DetectorConfig(detect1_lambda_threshold=1.0,
+                         detect2_lambda_threshold=1.0,
+                         detect3_lambda_threshold1=1.5,
+                         detect3_lambda_threshold2=1.0,
+                         ignore_diff_rate=0.01,
+                         anomaly_valid_count_rate=0.001)
+    direct = sorted(r["itemid"] for r in
+                    detect_pipeline(spark, sf_dir, cfg).collect())
+    assert got["events"] == direct
+
+    # stage selection: detect1-only must reproduce the detect1 survivor set
+    only1 = run_detection(spark, conf, detection_stages=(STAGE_DETECT1,))
+    d1 = sorted(r["itemid"] for r in
+                detect_pipeline(spark, sf_dir, cfg,
+                                stages=(1,)).collect())
+    assert only1["events"] == d1
+    assert d1   # non-trivial run (later stages may legitimately empty it)
+    assert set(got["events"]) <= set(d1)
+
+
 def test_yaml_edit_resets_checkpoint_state(spark, sf_dir, tmp_path):
     """End-to-end: a YAML threshold edit makes done-partitions invisible
     (new suite_hash ⇒ full recompute), unchanged YAML resumes skip-done."""
