@@ -575,6 +575,52 @@ def _q_seq_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("bigint").alias("n_violations"))
 
 
+def _q_seq_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10/T2 as a TRUE arbitrary-stateful streaming operator:
+    applyInPandasWithState GroupState holds per-source running sufficient
+    stats of n_tok across two micro-batches; the final update per key must
+    equal the from-scratch batch stats (the reference's incremental≡recompute
+    invariant, tests/test_trends_stats.py:32-58) — which is exactly the
+    DuckDB oracle."""
+    import tempfile
+    from pyanomalydetector_spark.streaming.incremental import (
+        stateful_running_stats,
+    )
+    seq = load_sequences(spark, sf_dir)
+    parts = sorted(r["source"] for r in seq.select("source").distinct().collect())
+    half = parts[: len(parts) // 2]
+    base = tempfile.mkdtemp(prefix="stateful_q_")
+    inp, ck = base + "/in", base + "/ck"
+
+    src = seq.select("source", F.col("n_tok").cast("double").alias("value"))
+    src.filter(F.col("source").isin(half)).write.mode("append").parquet(inp)
+
+    stream = spark.readStream.schema("source string, value double").parquet(inp)
+    out = stateful_running_stats(stream, id_col="source")
+    captured: list = []
+
+    def drain():
+        q = (out.writeStream
+                .foreachBatch(lambda df, bid: captured.extend(df.collect()))
+                .outputMode("update")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    drain()
+    src.filter(~F.col("source").isin(half)).write.mode("append").parquet(inp)
+    drain()
+
+    latest: dict = {}
+    for r in captured:
+        if r["source"] not in latest or r["cnt"] > latest[r["source"]]["cnt"]:
+            latest[r["source"]] = r
+    return spark.createDataFrame(
+        [(r["source"], r["cnt"], round(r["mean"], 6), round(r["std"], 6))
+         for r in latest.values()],
+        "partition_id string, cnt long, mean_n_tok double, std_n_tok double")
+
+
 def _q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode: PNG inflate+unfilter / WAV PCM decode inside
     an Arrow-batched mapInPandas kernel; features are stats of the decoded
@@ -741,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_cluster": _q_ev_cluster,
         "seq_checkpoint_resume": _q_seq_checkpoint_resume,
         "seq_stream_validate": _q_seq_stream_validate,
+        "seq_stream_stateful": _q_seq_stream_stateful,
         "mm_decode_features": _q_mm_decode_features,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_q3_shipping": _q_tpch_q3_shipping,
@@ -1595,6 +1642,15 @@ def oracle_sql() -> dict[str, str]:
                    ), 6) AS psi
             FROM j JOIN np ON j.source = np.source, tot
             GROUP BY j.source
+        """,
+        "seq_stream_stateful": f"""
+            SELECT source AS partition_id,
+                   COUNT(*) AS cnt,
+                   ROUND(AVG(CAST(n_tok AS DOUBLE)), 6) AS mean_n_tok,
+                   ROUND(COALESCE(STDDEV_SAMP(CAST(n_tok AS DOUBLE)), 0), 6)
+                       AS std_n_tok
+            FROM {_SEQ}
+            GROUP BY source
         """,
         "seq_drift_ks": f"""
             WITH vals AS (SELECT DISTINCT CAST(n_tok AS DOUBLE) AS v FROM {_SEQ}),

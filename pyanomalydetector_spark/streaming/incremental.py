@@ -139,3 +139,46 @@ def streaming_tumbling_rollup(stream: DataFrame, interval_secs: int,
                       F.unix_timestamp("w.start").alias("clock"),
                       "value_min", "value_avg", "value_max", "value_cnt")
     )
+
+
+def stateful_running_stats(stream: DataFrame, id_col: str = "itemid",
+                           value_col: str = "value") -> DataFrame:
+    """Per-key running mean/std as a TRUE arbitrary-stateful streaming
+    operator: ``applyInPandasWithState`` keeps the mergeable sufficient
+    statistics ``(cnt, Σx, Σx²)`` as engine-managed GroupState — the
+    custom-stateful realization of the reference's running history stats
+    (T2, data_processing/stats.py:88-124), instead of the foreachBatch+
+    parquet emulation above. State is O(keys), emitted rows carry the
+    finalized Bessel mean/std (the same scrub + Bessel semantics as
+    functions/stats.py, so streaming ≡ batch recompute —
+    tests/test_streaming.py pins it). Output mode: Update (one refreshed
+    row per key per micro-batch)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    id_type = stream.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, cnt long, mean double, std double"
+    state_schema = "cnt long, s double, q double"
+
+    def update(key, pdfs, state):
+        cnt, s, q = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            v = pdf[value_col].astype(float).to_numpy()
+            v = v[np.isfinite(v)]                      # null/inf scrub
+            cnt += int(v.size)
+            s += float(v.sum())
+            q += float((v * v).sum())
+        state.update((cnt, s, q))
+        if cnt == 0:
+            return
+        mean = s / cnt
+        var = (q - s * s / cnt) / (cnt - 1) if cnt > 1 else 0.0
+        yield pd.DataFrame({id_col: [key[0]], "cnt": [cnt], "mean": [mean],
+                            "std": [math.sqrt(max(var, 0.0))]})
+
+    return stream.groupBy(id_col).applyInPandasWithState(
+        update, out_schema, state_schema, "Update",
+        GroupStateTimeout.NoTimeout)

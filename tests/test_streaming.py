@@ -105,3 +105,52 @@ def test_streaming_rollup_equals_batch_rollup(spark, sf_dir, tmp_path):
     g, e = norm(got), norm(expected)
     assert set(g) <= set(e)
     assert len(g) >= len(e) - len({r["itemid"] for r in expected.collect()})
+
+
+def test_applyinpandaswithstate_running_stats(spark, tmp_path):
+    """The TRUE stateful operator (applyInPandasWithState GroupState):
+    running per-key stats over two micro-batches must equal a from-scratch
+    batch recompute over all rows (same scrub + Bessel semantics)."""
+    from pyanomalydetector_spark.streaming.incremental import (
+        stateful_running_stats,
+    )
+    inp = str(tmp_path / "in")
+    schema = "itemid long, clock long, value double"
+    rows1 = [(i % 4, c, float((i * 7 + c) % 23))
+             for i in range(8) for c in range(12)]
+    rows2 = [(i % 4, 100 + c, float((i * 11 + c) % 19))
+             for i in range(8) for c in range(9)]
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+         .write.mode("append").parquet(inp)
+
+    stream = spark.readStream.schema(schema).parquet(inp)
+    out = stateful_running_stats(stream)
+
+    captured = []
+
+    def drain():
+        q = (out.writeStream
+                .foreachBatch(lambda df, bid: captured.extend(df.collect()))
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    drain()
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+         .write.mode("append").parquet(inp)
+    drain()
+
+    # latest update per key (the highest running cnt) across both drains
+    got = {}
+    for r in captured:
+        if r["itemid"] not in got or r["cnt"] > got[r["itemid"]]["cnt"]:
+            got[r["itemid"]] = r
+
+    expected = finalize_mean_std(sufficient_stats(
+        spark.createDataFrame(rows1 + rows2, schema), ["itemid"], "value"))
+    for e in expected.collect():
+        g = got[e["itemid"]]
+        assert g["cnt"] == e["cnt"]
+        assert round(g["mean"], 9) == round(e["mean"], 9)
+        assert round(g["std"], 9) == round(e["std"], 9)
