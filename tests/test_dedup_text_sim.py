@@ -204,6 +204,34 @@ def test_trained_ivf_beats_probe_fraction_on_real_fixture(spark):
     assert rec > 2 * (4 / 16), rec
 
 
+def test_embedding_lsh_pairs_find_near_dups(spark):
+    """Random-hyperplane LSH route: planted near-duplicate vectors (cosine
+    ≈ 0.999, per-bit agreement ≈ 0.99 → miss prob ~1e-7) must all surface,
+    precision is exactly 1 (candidates are cosine-verified), and the output
+    is a subset of the brute-force pairs at the same threshold."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyanomalydetector_spark.operators.similarity import (
+        cosine_pairs_above, cosine_pairs_above_lsh,
+    )
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(200, 32))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(200)]
+    # plant 20 near-dups: ids 1000+i ≈ id i with tiny noise
+    for i in range(20):
+        v = base[i] + 0.01 * rng.normal(size=32)
+        rows.append((1000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {(r["d1"], r["d2"]) for r in
+           cosine_pairs_above_lsh(emb, threshold=0.95).collect()}
+    brute = {(r["d1"], r["d2"]) for r in
+             cosine_pairs_above(emb, 0.95).collect()}
+    planted = {(i, 1000 + i) for i in range(20)}
+    assert planted <= got          # every planted near-dup found
+    assert got <= brute            # exact verify → no false positives
+
+
 def test_trained_ivf_deterministic(spark, emb):
     from pyanomalydetector_spark.operators.similarity import (
         train_ivf_codebook,
