@@ -89,10 +89,14 @@ def test_finalize_matches_pandas_bessel_std(xs):
     expected_std = float(ps.std())
     if math.isnan(expected_std):
         expected_std = 0.0
-    # sqr_sum formula loses precision vs two-pass when std << mean —
-    # tolerance reflects the float32-ish agreement the engine promises
-    # (the Welford UDAF is the high-precision path)
-    assert std == pytest.approx(expected_std, rel=1e-4, abs=1e-5)
+    # sqr_sum formula loses precision vs two-pass when std << mean
+    # (catastrophic cancellation: absolute error grows with |mean|·ε) —
+    # the abs tolerance scales accordingly; the Welford UDAF is the
+    # high-precision path for that regime
+    # noise floor of the one-pass formula: std ≈ |mean|·sqrt(ε) when the
+    # true variance is ~0 (e.g. identical values)
+    assert std == pytest.approx(expected_std, rel=1e-4,
+                                abs=5e-8 * (1.0 + abs(mean)))
 
 
 @given(st.lists(st.floats(min_value=0, max_value=100,
@@ -120,3 +124,26 @@ def test_dbscan_partition_invariant_under_permutation(pts, eps, min_samples):
     noise1 = {i for i, c in enumerate(l1) if c == -1}
     noise2 = {int(perm[i]) for i, c in enumerate(l2) if c == -1}
     assert noise1 == noise2
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+def test_png_codec_roundtrip_property(h, w, seed):
+    """decode(encode(x)) == x for arbitrary 8-bit grayscale images — the
+    codec pair behind the real multimodal decode path."""
+    from pyanomalydetector_spark.sources.media import encode_png, decode_png
+    arr = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 2000), st.integers(0, 2**32 - 1),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_codec_roundtrip_property(n, seed, rate):
+    from pyanomalydetector_spark.sources.media import encode_wav, decode_wav
+    s = np.random.default_rng(seed).integers(
+        -32768, 32768, size=n, dtype=np.int64).astype(np.int16)
+    out, got_rate = decode_wav(encode_wav(s, rate))
+    assert got_rate == rate
+    assert np.array_equal(out, s.astype(np.int32))
