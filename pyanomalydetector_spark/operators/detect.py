@@ -310,6 +310,13 @@ def detect_cascade(history_df: DataFrame, trends_df: DataFrame,
     ``detection_stages`` list (e.g. ``(1, 4)`` is the detect1+detect4 combo of
     tests/test_detector_all.py:10-12); skipped stages pass survivors through.
 
+    Documented divergence: in the reference, a stage list WITHOUT detect1
+    short-circuits to nothing (detect_anomalies.py:88-89 ``continue`` fires
+    before its own "all items" fallback at :93-94 can run — dead code). We
+    implement that fallback's evident intent: with stage 1 skipped, later
+    stages start from ALL items. An empty ``stages`` yields an empty set,
+    matching the reference.
+
     detect4 (STAGE_DETECT4, detect_anomalies.py:109-113) is
     ``detect3(is_long_trend=True)`` — the same envelope cascade over the
     ``long_trends_retention`` window (detector.py:562-570), with base-clock
@@ -384,5 +391,7 @@ def detect_cascade(history_df: DataFrame, trends_df: DataFrame,
                             cfg, is_long_trend=True)
 
     if survivors is None:
-        return history_df.select("itemid").distinct()
+        # no stage ran: the reference emits no anomalies in this case
+        # (detect_anomalies.py:88-89 — the empty list short-circuits run())
+        return history_df.select("itemid").distinct().limit(0)
     return survivors
