@@ -103,3 +103,15 @@ def test_default_suite_runs_end_to_end(spark, seq):
                          "referential_source", "n_tok_consistency",
                          "drift_psi_n_tok", "drift_ks_n_tok"}
     assert res.violations.count() > 0
+
+
+def test_suite_on_empty_input(spark):
+    """Robustness: the whole suite on a 0-row table must produce empty,
+    well-typed verdict/violation frames — not crash (a real failure mode
+    when a partition filter matches nothing on resume)."""
+    empty = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string")
+    res = run_checks(empty, default_suite(["src0"]))
+    assert res.verdicts.count() == 0
+    assert res.violations.count() == 0
+    assert "partition_id" in res.verdicts.columns
