@@ -370,11 +370,13 @@ def _check_token_invariant(df: DataFrame, check: Check, pcol: str) -> CheckResul
         F.xxhash64("tokens").alias("_exp_hash"),
         F.size("tokens").alias("_exp_len"),
     ).dropDuplicates(["doc_id"])
-    obs = df.select(
-        pcol, "doc_id",
-        F.xxhash64("tokens").alias("_obs_hash"),
-        F.size("tokens").alias("_obs_len"),
-    ).dropDuplicates(["doc_id"])
+    # group by (partition, doc_id) with mutable-typed (long) aggregates —
+    # a dropDuplicates here would carry the string partition column through
+    # a first() buffer and fall back to SortAggregate on the full scan
+    obs = df.groupBy(pcol, "doc_id").agg(
+        F.max(F.xxhash64("tokens")).alias("_obs_hash"),
+        F.max(F.size("tokens")).alias("_obs_len"),
+    )
 
     mismatch = (
         F.col("_exp_hash").isNull()
