@@ -441,7 +441,8 @@ def _check_drift(df: DataFrame, check: Check, pcol: str, stat: str) -> CheckResu
         else:
             scored = psi_by_partition(df, pcol, value_col,
                                       n_buckets=int(check.params.get("buckets", 10)),
-                                      baseline=baseline)
+                                      baseline=baseline,
+                                      cache_registry=cache_registry)
         obs = "psi"
     else:
         base_counts = check.params.get("baseline_counts")

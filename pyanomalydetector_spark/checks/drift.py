@@ -22,12 +22,14 @@ PSI_SMOOTH = 0.5  # Laplace smoothing added to every bucket count
 
 def psi_by_partition(df: DataFrame, partition_col: str, value_col: str,
                      n_buckets: int = 10,
-                     baseline: DataFrame | None = None) -> DataFrame:
+                     baseline: DataFrame | None = None,
+                     cache_registry: list | None = None) -> DataFrame:
     """Population Stability Index of ``value_col`` per partition vs baseline.
 
     Fixed-width buckets over the baseline's [min, max]; counts smoothed with
     ``PSI_SMOOTH`` so empty buckets don't blow up the log. Returns
-    ``(partition_id, psi)``.
+    ``(partition_id, psi)``. ``cache_registry`` collects persisted
+    intermediates for the caller to unpersist (see :func:`ks_by_partition`).
     """
     base = baseline if baseline is not None else df
     v = F.col(value_col).cast("double")
@@ -45,23 +47,36 @@ def psi_by_partition(df: DataFrame, partition_col: str, value_col: str,
             F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(bucket),
         )
 
-    # full bucket grid per partition so zero-count buckets still get smoothing
-    parts = df.select(F.col(partition_col).alias("partition_id")).distinct()
-    grid = parts.crossJoin(
-        df.sparkSession.range(n_buckets).select(F.col("id").alias("bucket")))
-
     part_counts = (
         bucketize(df)
         .groupBy(F.col(partition_col).alias("partition_id"), "bucket")
         .agg(F.count(F.lit(1)).alias("c_p"))
     )
-    base_counts = (
-        bucketize(base)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_b"))
-    )
 
-    base_total = base.agg(F.count(F.lit(1)).cast("double").alias("n_base"))
+    if baseline is None:
+        # self-baseline: the partition universe, the baseline histogram AND
+        # its total all derive from the one part_counts shuffle — no second
+        # full-table bucketize scan (same discipline as ks_by_partition)
+        part_counts = part_counts.persist()
+        if cache_registry is not None:
+            cache_registry.append(part_counts)
+        parts = part_counts.select("partition_id").distinct()
+        base_counts = part_counts.groupBy("bucket").agg(
+            F.sum("c_p").alias("c_b"))
+        base_total = part_counts.agg(
+            F.sum("c_p").cast("double").alias("n_base"))
+    else:
+        parts = df.select(F.col(partition_col).alias("partition_id")).distinct()
+        base_counts = (
+            bucketize(base)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c_b"))
+        )
+        base_total = base.agg(F.count(F.lit(1)).cast("double").alias("n_base"))
+
+    # full bucket grid per partition so zero-count buckets still get smoothing
+    grid = parts.crossJoin(
+        df.sparkSession.range(n_buckets).select(F.col("id").alias("bucket")))
 
     joined = (
         grid.join(part_counts, ["partition_id", "bucket"], "left")
