@@ -367,6 +367,10 @@ def detect_cascade(history_df: DataFrame, trends_df: DataFrame,
         if survivors.isEmpty():
             return survivors
 
+    # narrowing stays a JOIN against the (checkpointed, tiny) survivor key
+    # set — measured faster than collecting the keys and pushing isin
+    # filters (an InSet predicate re-evaluates per row in every branch; the
+    # hash join probes once and AQE broadcasts the small side anyway)
     def narrowed(df: DataFrame) -> DataFrame:
         return df if survivors is None else df.join(survivors, "itemid")
 
