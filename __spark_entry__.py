@@ -67,6 +67,19 @@ def _seq_sql() -> str:
     return _SEQ_CACHE
 
 
+_JSONL_CACHE: str | None = None
+
+
+def _seq_jsonl() -> str:
+    global _JSONL_CACHE
+    if _JSONL_CACHE is None:
+        from pyanomalydetector_spark.sources.sequences import (
+            synthesize_sequences_jsonl,
+        )
+        _JSONL_CACHE = synthesize_sequences_jsonl(SF01)
+    return _JSONL_CACHE
+
+
 _MEDIA_CACHE: str | None = None
 
 
@@ -495,6 +508,23 @@ def _q_ev_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("itemid").cast("bigint").alias("itemid"))
 
 
+def _q_seq_column_stats_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12-analog ingest format: the same stats pass reading the sequence
+    table through the JSON-lines source (explicit schema, no inference);
+    must equal the parquet path bit-for-bit — DuckDB oracle reads the same
+    JSONL bytes via read_json."""
+    from pyanomalydetector_spark.sources.sequences import load_sequences_jsonl
+    seq = load_sequences_jsonl(spark, sf_dir)
+    out = finalize_mean_std(sufficient_stats(seq, ["source"], "n_tok"))
+    return out.select(
+        F.col("source").alias("partition_id"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("sum").cast("bigint").alias("sum_n_tok"),
+        F.round("mean", 6).alias("mean_n_tok"),
+        F.round("std", 6).alias("std_n_tok"),
+    )
+
+
 def _q_seq_column_stats_welford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A3 via the Welford/Chan Arrow UDAF (north-star mandated path);
     identical contract to seq_column_stats, so the same oracle applies."""
@@ -772,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_topn": _q_ev_topn,
         "ev_conditions": _q_ev_conditions,
         "seq_column_stats_welford": _q_seq_column_stats_welford,
+        "seq_column_stats_jsonl": _q_seq_column_stats_jsonl,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_dedup_minhash": _q_doc_dedup_minhash,
@@ -1390,6 +1421,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_tok), 6) AS mean_n_tok,
                    ROUND(COALESCE(STDDEV_SAMP(n_tok), 0), 6) AS std_n_tok
             FROM {_SEQ}
+            GROUP BY source
+        """,
+        # both engines read the SAME jsonl bytes
+        "seq_column_stats_jsonl": f"""
+            SELECT source AS partition_id,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+                   ROUND(AVG(n_tok), 6) AS mean_n_tok,
+                   ROUND(COALESCE(STDDEV_SAMP(n_tok), 0), 6) AS std_n_tok
+            FROM read_json('{_seq_jsonl()}')
             GROUP BY source
         """,
         "doc_dedup_exact": f"""

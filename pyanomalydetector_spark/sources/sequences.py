@@ -113,3 +113,37 @@ def load_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune at the scan.
     """
     return spark.read.parquet(synthesize_sequences(sf_dir))
+
+
+SEQ_SCHEMA = ("doc_id string, tokens array<int>, n_tok int, source string")
+
+
+def sequences_jsonl_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(_CACHE_ROOT, f"{tag}.jsonl")
+
+
+def synthesize_sequences_jsonl(sf_dir: str, force: bool = False) -> str:
+    """JSON-lines mirror of the sequence table (same rows as the parquet) —
+    the ingest-format path: raw corpus drops usually arrive as JSONL, and
+    both engines read the same text bytes (DuckDB ``read_json``)."""
+    import json as _json
+
+    out_path = sequences_jsonl_path(sf_dir)
+    if os.path.exists(out_path) and not force:
+        return out_path
+    table = pq.read_table(synthesize_sequences(sf_dir))
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        for row in table.to_pylist():
+            f.write(_json.dumps(row, separators=(",", ":")) + "\n")
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def load_sequences_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence table through the JSON-lines source with an EXPLICIT schema
+    (never schema inference — one pass saved, stable types). Must be
+    row-identical to the parquet path (oracle-checked by
+    ``seq_column_stats_jsonl``)."""
+    return spark.read.schema(SEQ_SCHEMA).json(synthesize_sequences_jsonl(sf_dir))

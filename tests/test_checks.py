@@ -115,3 +115,14 @@ def test_suite_on_empty_input(spark):
     assert res.verdicts.count() == 0
     assert res.violations.count() == 0
     assert "partition_id" in res.verdicts.columns
+
+
+def test_jsonl_source_equals_parquet_source(spark, sf_dir):
+    """The JSON-lines ingest path must be row-identical to the parquet path
+    (explicit schema, no inference)."""
+    from pyanomalydetector_spark.sources.sequences import load_sequences_jsonl
+    a = sorted((r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+               for r in load_sequences(spark, sf_dir).collect())
+    b = sorted((r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+               for r in load_sequences_jsonl(spark, sf_dir).collect())
+    assert a == b
