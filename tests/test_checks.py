@@ -126,3 +126,28 @@ def test_jsonl_source_equals_parquet_source(spark, sf_dir):
     b = sorted((r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
                for r in load_sequences_jsonl(spark, sf_dir).collect())
     assert a == b
+
+
+def test_results_invariant_under_shuffle_partitioning(spark, seq):
+    """Distributed-correctness property: verdicts must be identical at any
+    shuffle-partition count (hash/order-sensitivity bugs surface here)."""
+    suite = [Check("uniq", "unique", {"key": "doc_id"}),
+             Check("z", "zscore_threshold",
+                   {"value_col": "n_tok", "lambda": 2.0,
+                    "ignore_diff_rate": 0.1}),
+             Check("psi", "drift_psi", {"value_col": "n_tok"}),
+             Check("ks", "drift_ks", {"value_col": "n_tok"})]
+
+    def run_at(n):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            res = run_checks(seq, suite)
+            return sorted(
+                (r["partition_id"], r["check_id"], r["passed"],
+                 round(r["observed"], 9), r["n_violations"])
+                for r in res.verdicts.collect())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    assert run_at(3) == run_at(17)
