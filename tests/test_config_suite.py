@@ -160,3 +160,28 @@ def test_yaml_edit_resets_checkpoint_state(spark, sf_dir, tmp_path):
                  "    params: {value_col: n_tok, lambda: 3.5}\n")
     edited = suite_from_config(load_config(DEFAULT, str(y)))
     assert not store.done_partitions(suite_hash(edited), "static")
+
+
+def test_run_detection_multiple_sources(spark, sf_dir, tmp_path):
+    """Two data sources with different thresholds run independently and
+    land in the reference-shaped anomalies map."""
+    from pyanomalydetector_spark.plans.run import run_detection
+    y = tmp_path / "multi.yml"
+    y.write_text(
+        "ignore_diff_rate: 0.01\n"
+        "anomaly_valid_count_rate: 0.001\n"
+        "data_sources:\n"
+        "  loose:\n"
+        f"    data_dir: \"{sf_dir}\"\n"
+        "    detect1_lambda_threshold: 1.0\n"
+        "    detect2_lambda_threshold: 1.0\n"
+        "    detect3_lambda_threshold1: 1.5\n"
+        "    detect3_lambda_threshold2: 1.0\n"
+        "  strict:\n"
+        f"    data_dir: \"{sf_dir}\"\n"
+        "    detect1_lambda_threshold: 50.0\n")
+    got = run_detection(spark, load_config(str(y)),
+                        detection_stages=(1,))
+    assert set(got) == {"loose", "strict"}
+    assert got["strict"] == []          # λ=50 kills everything
+    assert set(got["strict"]) <= set(got["loose"])
