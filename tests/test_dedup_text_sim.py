@@ -264,3 +264,19 @@ def test_blocked_cosine_pairs_zero_norm_vector(spark, emb):
                                           block_size=7).collect()}
     assert blocked == brute
     assert all(10_000 not in pair for pair in blocked)
+
+
+def test_hashed_shingles_short_docs(spark):
+    """Docs shorter than k words yield no shingles (guard on the zip_with
+    rolling combine) and the minhash pipeline tolerates them."""
+    from pyanomalydetector_spark.operators.dedup import (
+        hashed_shingles, minhash_dedup_pairs,
+    )
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three words here"),
+         (4, "three words here")],
+        "doc_id long, text string")
+    sh = hashed_shingles(docs, k=3)
+    assert {r["doc_id"] for r in sh.collect()} == {3, 4}
+    pairs = minhash_dedup_pairs(docs, k=3, threshold=0.8).collect()
+    assert [(r["d1"], r["d2"], r["jaccard"]) for r in pairs] == [(3, 4, 1.0)]
