@@ -508,6 +508,37 @@ def _q_ev_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("itemid").cast("bigint").alias("itemid"))
 
 
+def _q_catalog_topitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """update_topitems / get_items_details (detector.py:589-635,
+    update_topitems.py:17-51): catalog details ⋈ trend stats, top-3 per
+    host by item_count via ONE window rank (the reference's per-host
+    nlargest loop), group-map override by broadcast coalesce."""
+    from pyanomalydetector_spark.plans.report import items_details
+    ev = load_table(spark, sf_dir, "events")
+    catalog = ev.groupBy(F.col("user_id").alias("itemid")).agg(
+        F.count(F.lit(1)).alias("item_count")).select(
+        "itemid", "item_count",
+        F.pmod("itemid", F.lit(7)).cast("int").alias("hostid"),
+        F.concat(F.lit("host"), F.pmod("itemid", F.lit(7))).alias("host_name"),
+        F.concat(F.lit("item"), F.col("itemid")).alias("item_name"),
+        F.lit("default").alias("group_name"))
+    m = events_metrics(spark, sf_dir)
+    stats = m.groupBy("itemid").agg(
+        F.avg("value").alias("mean"),
+        F.coalesce(F.stddev_samp("value"), F.lit(0.0)).alias("std"))
+    gm = catalog.filter(F.pmod("itemid", F.lit(13)) == 0) \
+                .select("itemid", F.lit("vip").alias("group_name"))
+    out = items_details(catalog, stats, created=ENDEP,
+                        group_map_df=gm, top_n=3)
+    return out.select(
+        "group_name", F.col("hostid").cast("int").alias("hostid"),
+        "host_name", F.col("itemid").cast("bigint").alias("itemid"),
+        "item_name", F.round("trend_mean", 6).alias("trend_mean"),
+        F.round("trend_std", 6).alias("trend_std"),
+        F.col("created").cast("bigint").alias("created"),
+        F.col("clusterid").cast("int").alias("clusterid"))
+
+
 def _q_seq_column_stats_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12-analog ingest format: the same stats pass reading the sequence
     table through the JSON-lines source (explicit schema, no inference);
@@ -803,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_conditions": _q_ev_conditions,
         "seq_column_stats_welford": _q_seq_column_stats_welford,
         "seq_column_stats_jsonl": _q_seq_column_stats_jsonl,
+        "catalog_topitems": _q_catalog_topitems,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_dedup_minhash": _q_doc_dedup_minhash,
@@ -1390,6 +1422,37 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id) AS rn
                 FROM events
             ) WHERE rn <= 3
+        """,
+        "catalog_topitems": f"""
+            WITH cat AS (
+                SELECT user_id AS itemid, COUNT(*) AS item_count,
+                       CAST(user_id % 7 AS INT) AS hostid,
+                       'host' || CAST(user_id % 7 AS VARCHAR) AS host_name,
+                       'item' || CAST(user_id AS VARCHAR) AS item_name,
+                       'default' AS group_name
+                FROM events GROUP BY user_id
+            ),
+            topn AS (
+                SELECT * FROM (
+                    SELECT cat.*, ROW_NUMBER() OVER (
+                        PARTITION BY hostid
+                        ORDER BY item_count DESC, itemid) AS rn
+                    FROM cat
+                ) WHERE rn <= 3
+            ),
+            st AS (
+                SELECT itemid, AVG(value) AS mean,
+                       COALESCE(STDDEV_SAMP(value), 0) AS std
+                FROM {_EV} ev GROUP BY itemid
+            )
+            SELECT CASE WHEN t.itemid % 13 = 0 THEN 'vip'
+                        ELSE t.group_name END AS group_name,
+                   t.hostid, t.host_name, t.itemid, t.item_name,
+                   ROUND(st.mean, 6) AS trend_mean,
+                   ROUND(st.std, 6) AS trend_std,
+                   CAST({ENDEP} AS BIGINT) AS created,
+                   CAST(-1 AS INT) AS clusterid
+            FROM topn t JOIN st ON t.itemid = st.itemid
         """,
         "ev_conditions": f"""
             WITH stats AS (

@@ -79,3 +79,50 @@ def report_json(verdicts: DataFrame, violations: DataFrame,
         with open(path, "w") as f:
             json.dump(out, f, indent=2, sort_keys=True)
     return out
+
+
+def items_details(catalog_df: DataFrame, trends_stats_df: DataFrame,
+                  created: int, group_map_df: DataFrame | None = None,
+                  top_n: int = 0) -> DataFrame:
+    """The anomalies/topitems row builder (detector.py:589-635) recast:
+
+    catalog details ⋈ per-item trend stats (inner), optional top-N per host
+    by ``item_count`` — the reference's groupby-apply ``nlargest`` loop
+    becomes ONE window rank (ties broken by itemid so the result is
+    deterministic under any shuffle order) — and the group-map override
+    becomes a broadcast left join + coalesce instead of a per-row
+    ``df.apply`` lambda. Emits the typed anomalies-table shape
+    (models/anomalies.py), ``clusterid`` initialized to −1 for the
+    classifier to fill (update_topitems.py:53-74).
+    """
+    from pyspark.sql import Window
+
+    df = catalog_df
+    if top_n > 0:
+        w = Window.partitionBy("hostid").orderBy(F.desc("item_count"),
+                                                 "itemid")
+        df = df.withColumn("_rn", F.row_number().over(w)) \
+               .filter(F.col("_rn") <= top_n).drop("_rn")
+
+    stats = trends_stats_df.select(
+        "itemid", F.col("mean").alias("trend_mean"),
+        F.col("std").alias("trend_std"))
+    df = df.join(stats, "itemid")
+
+    if group_map_df is not None:
+        gm = group_map_df.select("itemid", F.col("group_name").alias("_gm"))
+        df = df.join(F.broadcast(gm), "itemid", "left") \
+               .withColumn("group_name",
+                           F.coalesce("_gm", "group_name")).drop("_gm")
+
+    return df.select(
+        F.col("group_name").cast("string"),
+        F.col("hostid").cast("int"),
+        F.col("host_name").cast("string"),
+        F.col("itemid").cast("long"),
+        F.col("item_name").cast("string"),
+        F.col("trend_mean").cast("double"),
+        F.col("trend_std").cast("double"),
+        F.lit(int(created)).alias("created"),
+        F.lit(-1).alias("clusterid"),
+    )
