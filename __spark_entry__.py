@@ -390,6 +390,19 @@ def _q_doc_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup completion stage: near-dup pairs → duplicate CLUSTERS via
+    distributed min-label propagation (connected components); each doc maps
+    to its cluster representative (min reachable id = the canonical keeper).
+    Oracle: recursive-CTE transitive closure over the same pair edges."""
+    from pyanomalydetector_spark.operators.dedup import duplicate_clusters
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, k=3, threshold=0.8)
+    return duplicate_clusters(pairs).select(
+        F.col("doc_id").cast("bigint"),
+        F.col("cluster_rep").cast("bigint").alias("cluster_rep"))
+
+
 def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (engine-portable md5 word hash)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -838,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_dedup_minhash": _q_doc_dedup_minhash,
+        "doc_dup_clusters": _q_doc_dup_clusters,
         "doc_simhash": _q_doc_simhash,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_token_counts": _q_doc_token_counts,
@@ -1507,6 +1521,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_ngram_jaccard": _JACCARD_SQL,
         "doc_dedup_minhash": _JACCARD_SQL,
+        # connected components = transitive closure (recursive CTE) over the
+        # same near-dup pair edges; representative = min reachable id
+        "doc_dup_clusters": f"""
+            WITH RECURSIVE p AS ({_JACCARD_SQL}),
+            edges AS (SELECT d1 AS a, d2 AS b FROM p
+                      UNION SELECT d2, d1 FROM p),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT src AS doc_id,
+                   LEAST(src, MIN(dst)) AS cluster_rep
+            FROM reach GROUP BY src
+        """,
         "doc_simhash": _SIMHASH_SQL,
         "doc_simhash_pairs": f"""
             WITH sh AS ({_SIMHASH_SQL})

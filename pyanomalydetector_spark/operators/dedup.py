@@ -299,3 +299,52 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     return pairs.withColumn("hamming", ham.cast("int")) \
                 .filter(F.col("hamming") <= max_hamming) \
                 .select("d1", "d2", "hamming")
+
+
+# ------------------------------------------------- duplicate clusters ----
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pair edges — the dedup stage after
+    pair generation: every doc maps to its cluster representative (the
+    smallest doc id reachable through dup edges), which is the canonical
+    keeper; all other members are the removal set.
+
+    Distributed min-label propagation: per round, every node takes the min
+    of its own label and its neighbours' labels (one join + one min-agg),
+    with a localCheckpoint lineage cut per round; converges in
+    O(component diameter) rounds — near-dup clusters are shallow (dups of a
+    common original), so this is a handful of rounds in practice. The
+    iteration count is capped and convergence is detected with an
+    O(changed)-cost anti-join probe.
+
+    Returns ``(doc_id, cluster_rep)`` for every doc appearing in a pair.
+    """
+    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+
+    labels = edges.select(F.col("a").alias("node")).distinct() \
+                  .withColumn("label", F.col("node")).localCheckpoint()
+
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.select(F.col("node").alias("b"),
+                                     F.col("label").alias("_nl")), "b")
+                 .groupBy("a").agg(F.min("_nl").alias("_nl"))
+        )
+        new = (
+            labels.join(nbr_min.withColumnRenamed("a", "node"), "node", "left")
+                  .select("node",
+                          F.least("label",
+                                  F.coalesce("_nl", F.col("label")))
+                           .alias("label"))
+                  .localCheckpoint()
+        )
+        changed = new.alias("n").join(
+            labels.alias("o"), "node").filter(F.col("n.label") != F.col("o.label"))
+        labels = new
+        if changed.isEmpty():
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_rep"))

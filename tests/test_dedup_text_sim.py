@@ -280,3 +280,19 @@ def test_hashed_shingles_short_docs(spark):
     assert {r["doc_id"] for r in sh.collect()} == {3, 4}
     pairs = minhash_dedup_pairs(docs, k=3, threshold=0.8).collect()
     assert [(r["d1"], r["d2"], r["jaccard"]) for r in pairs] == [(3, 4, 1.0)]
+
+
+def test_duplicate_clusters_known_graph(spark):
+    """Min-label propagation must produce exact components: a 4-chain
+    (worst case for propagation depth), a triangle, and a detached pair."""
+    from pyanomalydetector_spark.operators.dedup import duplicate_clusters
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13),        # chain 10-11-12-13
+         (20, 21), (21, 22), (20, 22),        # triangle
+         (30, 31)],                           # pair
+        "d1 long, d2 long").withColumn("jaccard", F.lit(1.0))
+    got = {r["doc_id"]: r["cluster_rep"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 22: 20,
+                   30: 30, 31: 30}
