@@ -167,6 +167,20 @@ def _q_seq_zscore_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seq_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition p50/p90/p99 of token length — the exact (interpolated)
+    path; equals DuckDB quantile_cont. The 10¹²-row path is the mergeable
+    approx_percentile sketch (accuracy pinned in tests/test_stats.py)."""
+    from pyanomalydetector_spark.functions.stats import length_percentiles
+    seq = load_sequences(spark, sf_dir)
+    out = length_percentiles(seq, ["source"], "n_tok")
+    return out.select(
+        F.col("source").alias("partition_id"),
+        F.round("p_50", 6).alias("p_50"),
+        F.round("p_90", 6).alias("p_90"),
+        F.round("p_99", 6).alias("p_99"))
+
+
 def _q_seq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI of per-partition n_tok distribution vs whole-table baseline."""
     seq = load_sequences(spark, sf_dir)
@@ -828,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_referential_violations": _q_seq_referential_violations,
         "seq_ntok_consistency": _q_seq_ntok_consistency,
         "seq_zscore_verdict": _q_seq_zscore_verdict,
+        "seq_length_percentiles": _q_seq_length_percentiles,
         "seq_drift_psi": _q_seq_drift_psi,
         "seq_drift_ks": _q_seq_drift_ks,
         "seq_token_invariant": _q_seq_token_invariant,
@@ -1737,6 +1752,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT source AS partition_id, doc_id
             FROM {_SEQ}
             WHERE CAST(substr(doc_id, 5, 8) AS BIGINT) % 37 = 0
+        """,
+        "seq_length_percentiles": f"""
+            SELECT source AS partition_id,
+                   ROUND(quantile_cont(n_tok, 0.5), 6) AS p_50,
+                   ROUND(quantile_cont(n_tok, 0.9), 6) AS p_90,
+                   ROUND(quantile_cont(n_tok, 0.99), 6) AS p_99
+            FROM {_SEQ}
+            GROUP BY source
         """,
         "seq_drift_psi": f"""
             WITH bounds AS (

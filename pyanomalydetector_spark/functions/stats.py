@@ -162,3 +162,28 @@ def welford_stats(df: DataFrame, keys: Sequence[str], value_col: str = "value") 
                              "std": [std]})
 
     return df.select(*keys, value_col).groupBy(*keys).applyInPandas(agg, out_schema)
+
+
+def length_percentiles(df, keys: list[str], value_col: str,
+                       ps: tuple = (0.5, 0.9, 0.99),
+                       exact: bool = True):
+    """Per-group distribution percentiles of ``value_col`` (p50/p90/p99 of
+    token lengths is a standard training-corpus health metric).
+
+    ``exact=True`` uses ``percentile`` (linear interpolation — matches
+    DuckDB ``quantile_cont`` bit-for-bit, the oracle path); its sort-based
+    aggregation buffers each group's values, so at 10¹²-row scale use
+    ``exact=False``: ``approx_percentile`` keeps a bounded mergeable sketch
+    per group (map-side combinable — the same shuffle shape as the moment
+    aggregates), accuracy pinned vs exact in tests/test_stats.py.
+    Returns one row per group with ``p_<pct>`` columns.
+    """
+    from pyspark.sql import functions as F
+
+    arr = "array(" + ", ".join(str(p) for p in ps) + ")"
+    fn = "percentile" if exact else "approx_percentile"
+    agg = F.expr(f"{fn}({value_col}, {arr})").alias("_ps")
+    out = df.groupBy(*keys).agg(agg)
+    cols = [F.col("_ps")[i].alias(f"p_{int(p * 100)}")
+            for i, p in enumerate(ps)]
+    return out.select(*keys, *cols)

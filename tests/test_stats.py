@@ -75,3 +75,33 @@ def test_welford_equals_native(spark, metric_df):
     pd.testing.assert_frame_equal(native.reset_index(drop=True),
                                   wf.reset_index(drop=True),
                                   check_dtype=False, rtol=1e-9)
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The mergeable-sketch percentile path (the 10^12-row variant) must
+    track the exact interpolated percentiles within a tight relative bound
+    on the real fixture distribution."""
+    from pyanomalydetector_spark.functions.stats import length_percentiles
+    from pyanomalydetector_spark.sources.sequences import load_sequences
+    seq = load_sequences(spark, sf_dir)
+    exact = {r["source"]: (r["p_50"], r["p_90"], r["p_99"])
+             for r in length_percentiles(seq, ["source"], "n_tok").collect()}
+    approx = {r["source"]: (r["p_50"], r["p_90"], r["p_99"])
+              for r in length_percentiles(seq, ["source"], "n_tok",
+                                          exact=False).collect()}
+    assert set(exact) == set(approx)
+    # approx_percentile returns discrete sample values (no interpolation),
+    # so assert RANK accuracy: the sketch's value must sit within 1% of the
+    # requested rank in the group's actual sorted values
+    vals = {}
+    for r in seq.select("source", "n_tok").collect():
+        vals.setdefault(r["source"], []).append(r["n_tok"])
+    for src, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        for p, a in zip((0.5, 0.9, 0.99), approx[src]):
+            lo = sum(1 for x in xs if x < a)     # rank range of value a
+            hi = sum(1 for x in xs if x <= a)
+            target = p * (n - 1)
+            assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1, \
+                (src, p, a, lo, hi, n)
