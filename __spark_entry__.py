@@ -167,6 +167,18 @@ def _q_seq_zscore_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seq_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 token ids per partition (vocabulary-drift surface): explode →
+    map-side-combined hash count → window top-k with deterministic
+    tiebreak."""
+    from pyanomalydetector_spark.operators.text import top_tokens
+    seq = load_sequences(spark, sf_dir)
+    return top_tokens(seq, k=5).select(
+        "partition_id", F.col("token").cast("bigint").alias("token"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("rank").cast("int").alias("rank"))
+
+
 def _q_seq_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition p50/p90/p99 of token length — the exact (interpolated)
     path; equals DuckDB quantile_cont. The 10¹²-row path is the mergeable
@@ -842,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_referential_violations": _q_seq_referential_violations,
         "seq_ntok_consistency": _q_seq_ntok_consistency,
         "seq_zscore_verdict": _q_seq_zscore_verdict,
+        "seq_top_tokens": _q_seq_top_tokens,
         "seq_length_percentiles": _q_seq_length_percentiles,
         "seq_drift_psi": _q_seq_drift_psi,
         "seq_drift_ks": _q_seq_drift_ks,
@@ -1752,6 +1765,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT source AS partition_id, doc_id
             FROM {_SEQ}
             WHERE CAST(substr(doc_id, 5, 8) AS BIGINT) % 37 = 0
+        """,
+        "seq_top_tokens": f"""
+            SELECT partition_id, token, cnt, rank FROM (
+                SELECT source AS partition_id, token,
+                       COUNT(*) AS cnt,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY COUNT(*) DESC, token) AS INT) AS rank
+                FROM (SELECT source, UNNEST(tokens) AS token FROM {_SEQ})
+                GROUP BY source, token
+            ) WHERE rank <= 5
         """,
         "seq_length_percentiles": f"""
             SELECT source AS partition_id,

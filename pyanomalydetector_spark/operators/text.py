@@ -138,3 +138,28 @@ def fingerprints(docs: DataFrame, window: int = 8, text_col: str = "text",
         lambda i: F.md5(t.substr(i, F.lit(window)))))
     fp = F.when(n >= window, mins).otherwise(F.md5(t))
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def top_tokens(seq: DataFrame, k: int = 5,
+               partition_col: str = "source") -> DataFrame:
+    """Top-k most frequent token ids per partition — the vocabulary-drift /
+    boilerplate surface (a partition whose top tokens shift or concentrate
+    signals template contamination).
+
+    explode → (partition, token) hash count (map-side combined: the shuffle
+    carries one partial per distinct key per task, not one row per token) →
+    per-partition window top-k, count-desc with token-id tiebreak so the
+    result is total-ordered and engine-portable.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        seq.select(F.col(partition_col).alias("partition_id"),
+                   F.explode("tokens").alias("token"))
+           .groupBy("partition_id", "token")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("partition_id") \
+              .orderBy(F.desc("cnt"), F.col("token"))
+    return counts.withColumn("rank", F.row_number().over(w)) \
+                 .filter(F.col("rank") <= k)
