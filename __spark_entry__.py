@@ -429,6 +429,21 @@ def _q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_rep").cast("bigint").alias("cluster_rep"))
 
 
+def _q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each doc's distinct 3-gram
+    shingles found in the 'benchmark' subset (doc_id % 17 == 0 plays the
+    held-out eval set); the benchmark shingle set broadcasts so the corpus
+    payload never shuffles."""
+    from pyanomalydetector_spark.operators.dedup import contamination_scores
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod("doc_id", F.lit(17)) == 0)
+    return contamination_scores(docs, bench, k=3).select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.round("overlap", 6).alias("overlap"))
+
+
 def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (engine-portable md5 word hash)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -880,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_dedup_minhash": _q_doc_dedup_minhash,
         "doc_dup_clusters": _q_doc_dup_clusters,
+        "doc_contamination": _q_doc_contamination,
         "doc_simhash": _q_doc_simhash,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_token_counts": _q_doc_token_counts,
@@ -1565,6 +1581,25 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY src
         """,
         "doc_simhash": _SIMHASH_SQL,
+        # string shingles give identical counts to the engine's 64-bit
+        # hashed shingles (collision-free at this scale)
+        "doc_contamination": """
+            WITH t AS (SELECT doc_id, string_split(text,' ') AS w
+                       FROM documents),
+            s AS (SELECT doc_id, unnest(generate_series(1, len(w)-2)) AS i, w
+                  FROM t),
+            shs AS (SELECT DISTINCT doc_id,
+                           array_to_string(w[i:i+2],' ') AS sh FROM s),
+            bench AS (SELECT DISTINCT sh FROM shs WHERE doc_id % 17 = 0),
+            tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shs
+                    GROUP BY 1),
+            hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM shs
+                     WHERE sh IN (SELECT sh FROM bench) GROUP BY 1)
+            SELECT tot.doc_id, n_shingles,
+                   COALESCE(n_hits, 0) AS n_hits,
+                   ROUND(COALESCE(n_hits, 0) * 1.0 / n_shingles, 6) AS overlap
+            FROM tot LEFT JOIN hits USING (doc_id)
+        """,
         "doc_simhash_pairs": f"""
             WITH sh AS ({_SIMHASH_SQL})
             SELECT a.doc_id AS d1, b.doc_id AS d2,

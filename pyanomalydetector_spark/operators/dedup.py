@@ -348,3 +348,36 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             break
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_rep"))
+
+
+# ----------------------------------------------------- decontamination ----
+
+def contamination_scores(docs: DataFrame, benchmark_docs: DataFrame,
+                         k: int = 3, text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: per doc, the fraction of its distinct
+    k-gram shingles that appear ANYWHERE in the benchmark corpus —
+    the standard eval-set-leak screen for training data.
+
+    Scale shape: the benchmark's distinct shingle set is tiny relative to
+    the corpus (eval sets are millions of shingles, the corpus is
+    trillions), so it BROADCASTS and the corpus shingles are scored with a
+    map-side semi-join — the training-corpus payload never shuffles.
+    Shingles are 64-bit hashes (hashed_shingles), so the broadcast is
+    8 bytes per benchmark shingle.
+
+    Returns ``(doc_id, n_shingles, n_hits, overlap)``; docs shorter than
+    ``k`` words have no shingles and are omitted (nothing to match on).
+    """
+    d = hashed_shingles(docs, k, text_col)
+    bench = hashed_shingles(benchmark_docs, k, text_col) \
+        .select("sh").distinct()
+    scored = d.join(F.broadcast(bench).hint("broadcast"), "sh", "left_semi") \
+              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    totals = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(scored, "doc_id", "left")
+              .select("doc_id", "n_shingles",
+                      F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                      F.try_divide(F.coalesce("n_hits", F.lit(0)),
+                                   F.col("n_shingles")).alias("overlap"))
+    )

@@ -296,3 +296,20 @@ def test_duplicate_clusters_known_graph(spark):
     assert got == {10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20, 22: 20,
                    30: 30, 31: 30}
+
+
+def test_contamination_scores_extremes(spark):
+    """Benchmark members score overlap 1.0; disjoint docs score 0;
+    partial overlap lands strictly between."""
+    from pyanomalydetector_spark.operators.dedup import contamination_scores
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),
+         (2, "completely different words entirely here now"),
+         (3, "the quick brown fox sleeps all day long")],
+        "doc_id long, text string")
+    bench = docs.filter("doc_id = 1")
+    got = {r["doc_id"]: r for r in
+           contamination_scores(docs, bench, k=3).collect()}
+    assert got[1]["overlap"] == 1.0
+    assert got[2]["overlap"] == 0.0
+    assert 0.0 < got[3]["overlap"] < 1.0      # shares 'the quick brown' ...
