@@ -488,6 +488,33 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint"), "fingerprint")
 
 
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition rule: 1 − distinct/total 3-grams per doc
+    plus the word-level duplicate fraction — pure array expressions inside
+    the scan (no shuffle, no explode)."""
+    from pyanomalydetector_spark.operators.text import repetition_scores
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_scores(docs, k=3).select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.round("rep_ratio", 6).alias("rep_ratio"),
+        F.round("word_dup_ratio", 6).alias("word_dup_ratio"))
+
+
+def _q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern counts per doc (scrub-before-training hygiene): one
+    regexp_count per pattern, all in the scan stage."""
+    from pyanomalydetector_spark.operators.text import pii_scan
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_scan(docs).select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.col("n_ssn").cast("bigint").alias("n_ssn"),
+        F.col("n_pii").cast("bigint").alias("n_pii"))
+
+
 def _q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 8 query vectors (exact baseline)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -902,6 +929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_repetition": _q_doc_repetition,
+        "doc_pii": _q_doc_pii,
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_cosine_pairs": _q_emb_cosine_pairs,
         "emb_ann_ivf": _q_emb_ann_ivf,
@@ -1627,6 +1656,45 @@ def oracle_sql() -> dict[str, str]:
                      + 0.3*(1 - LEAST(n_punct/n_chars*10, 1))
                      + 0.3*LEAST(n_words/100, 1))), 6) AS quality_score
             FROM b
+        """,
+        "doc_repetition": """
+            WITH t AS (SELECT doc_id, string_split(text,' ') AS w
+                       FROM documents),
+            base AS (SELECT doc_id, len(w) AS n_words,
+                            GREATEST(len(w) - 2, 0) AS n_grams,
+                            CASE WHEN len(w) > 0
+                                 THEN 1.0 - len(list_distinct(w)) * 1.0 / len(w)
+                                 ELSE 0 END AS wdr
+                     FROM t),
+            s AS (SELECT doc_id, unnest(generate_series(1, len(w)-2)) AS i, w
+                  FROM t WHERE len(w) >= 3),
+            d AS (SELECT doc_id,
+                         COUNT(DISTINCT array_to_string(w[i:i+2],' ')) AS nd
+                  FROM s GROUP BY 1)
+            SELECT b.doc_id, n_words, n_grams,
+                   ROUND(CASE WHEN n_grams > 0
+                              THEN 1.0 - COALESCE(nd, 0) * 1.0 / n_grams
+                              ELSE 0 END, 6) AS rep_ratio,
+                   ROUND(wdr, 6) AS word_dup_ratio
+            FROM base b LEFT JOIN d USING (doc_id)
+        """,
+        "doc_pii": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                        '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+                        AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                        '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                      + len(regexp_extract_all(text,
+                        '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+                      + len(regexp_extract_all(text,
+                        '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_pii
+            FROM documents
         """,
         "doc_langid": """
             WITH s AS (

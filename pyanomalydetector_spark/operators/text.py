@@ -163,3 +163,52 @@ def top_tokens(seq: DataFrame, k: int = 5,
               .orderBy(F.desc("cnt"), F.col("token"))
     return counts.withColumn("rank", F.row_number().over(w)) \
                  .filter(F.col("rank") <= k)
+
+
+def repetition_scores(docs: DataFrame, k: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition (the Gopher/C4-style quality rule:
+    heavily repeated n-grams signal boilerplate/spam): ``rep_ratio`` =
+    1 − distinct-k-grams / total-k-grams, plus the word-level duplicate
+    fraction. Pure array expressions — computed inside the scan, no
+    shuffle, no explode."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.xxhash64(F.array_join(F.slice(words, i, k), " ")))
+    grams = F.when(n >= k, grams).otherwise(F.array().cast("array<bigint>"))
+    n_grams = F.size(grams)
+    rep = F.when(n_grams > 0,
+                 1.0 - F.try_divide(F.size(F.array_distinct(grams)), n_grams)) \
+           .otherwise(F.lit(0.0))
+    word_dup = F.when(n > 0,
+                      1.0 - F.try_divide(F.size(F.array_distinct(words)), n)) \
+                .otherwise(F.lit(0.0))
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       n.alias("n_words"),
+                       n_grams.alias("n_grams"),
+                       rep.alias("rep_ratio"),
+                       word_dup.alias("word_dup_ratio"))
+
+
+PII_PATTERNS = {
+    # deliberately simple, engine-portable regexes (same syntax in DuckDB)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """PII-pattern counts per doc (scrub-before-training hygiene): one
+    ``regexp_count`` per pattern, all inside the scan stage — a wide table
+    costs one pass regardless of pattern count."""
+    cols = [F.regexp_count(F.col(text_col), F.lit(rx)).alias(f"n_{name}")
+            for name, rx in PII_PATTERNS.items()]
+    total = sum((F.col(f"n_{n}") for n in list(PII_PATTERNS)[1:]),
+                F.col(f"n_{list(PII_PATTERNS)[0]}"))
+    return docs.select(F.col(id_col).alias("doc_id"), *cols) \
+               .withColumn("n_pii", total)

@@ -313,3 +313,23 @@ def test_contamination_scores_extremes(spark):
     assert got[1]["overlap"] == 1.0
     assert got[2]["overlap"] == 0.0
     assert 0.0 < got[3]["overlap"] < 1.0      # shares 'the quick brown' ...
+
+
+def test_repetition_and_pii_extremes(spark):
+    from pyanomalydetector_spark.operators.text import (
+        repetition_scores, pii_scan,
+    )
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "six totally different words here friend"),
+         (3, "contact me at bob@example.com or 555-123-4567 ssn 123-45-6789")],
+        "doc_id long, text string")
+    rep = {r["doc_id"]: r for r in repetition_scores(docs, k=3).collect()}
+    assert rep[1]["rep_ratio"] == 0.75          # 4 grams, 1 distinct
+    assert rep[1]["word_dup_ratio"] > 0.8
+    assert rep[2]["rep_ratio"] == 0.0
+    assert rep[2]["word_dup_ratio"] == 0.0
+    pii = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (pii[3]["n_email"], pii[3]["n_phone"], pii[3]["n_ssn"]) == (1, 1, 1)
+    assert pii[3]["n_pii"] == 3
+    assert pii[1]["n_pii"] == 0
