@@ -167,6 +167,27 @@ def _q_seq_zscore_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seq_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-packing accounting (concat-and-chunk with an EOS token, the
+    standard LLM pretraining packing): per partition — docs, total tokens
+    incl. separators, full 2048-token contexts produced, and the tail waste
+    fraction. Pure aggregate arithmetic; one map-side-combined shuffle."""
+    ctx = 2048
+    seq = load_sequences(spark, sf_dir)
+    agg = seq.groupBy(F.col("source").alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_tok") + F.count(F.lit(1))).alias("total_with_eos"))
+    return agg.select(
+        "partition_id",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_with_eos").cast("bigint").alias("total_with_eos"),
+        F.floor(F.col("total_with_eos") / ctx).cast("bigint")
+         .alias("n_contexts"),
+        F.round(F.try_divide(F.pmod("total_with_eos", F.lit(ctx)),
+                             F.col("total_with_eos")), 6)
+         .alias("tail_waste_frac"))
+
+
 def _q_seq_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 token ids per partition (vocabulary-drift surface): explode →
     map-side-combined hash count → window top-k with deterministic
@@ -896,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_referential_violations": _q_seq_referential_violations,
         "seq_ntok_consistency": _q_seq_ntok_consistency,
         "seq_zscore_verdict": _q_seq_zscore_verdict,
+        "seq_packing_stats": _q_seq_packing_stats,
         "seq_top_tokens": _q_seq_top_tokens,
         "seq_length_percentiles": _q_seq_length_percentiles,
         "seq_drift_psi": _q_seq_drift_psi,
@@ -1868,6 +1890,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT source AS partition_id, doc_id
             FROM {_SEQ}
             WHERE CAST(substr(doc_id, 5, 8) AS BIGINT) % 37 = 0
+        """,
+        "seq_packing_stats": f"""
+            SELECT source AS partition_id,
+                   COUNT(*) AS n_docs,
+                   SUM(n_tok) + COUNT(*) AS total_with_eos,
+                   CAST(FLOOR((SUM(n_tok) + COUNT(*)) / 2048.0) AS BIGINT)
+                       AS n_contexts,
+                   ROUND(((SUM(n_tok) + COUNT(*)) % 2048) * 1.0
+                         / (SUM(n_tok) + COUNT(*)), 6) AS tail_waste_frac
+            FROM {_SEQ}
+            GROUP BY source
         """,
         "seq_top_tokens": f"""
             SELECT partition_id, token, cnt, rank FROM (
