@@ -371,7 +371,7 @@ def contamination_scores(docs: DataFrame, benchmark_docs: DataFrame,
     d = hashed_shingles(docs, k, text_col)
     bench = hashed_shingles(benchmark_docs, k, text_col) \
         .select("sh").distinct()
-    scored = d.join(F.broadcast(bench).hint("broadcast"), "sh", "left_semi") \
+    scored = d.join(F.broadcast(bench), "sh", "left_semi") \
               .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
     totals = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     return (
