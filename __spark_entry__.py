@@ -727,11 +727,13 @@ def _q_seq_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     inp = base + "/in"
     seq.filter(F.col("source").isin(half)).write.mode("append").parquet(inp)
     runner = StreamingSuiteRunner(spark, base + "/store", suite)
-    stream_check_suite(spark, inp, seq.schema, runner, base + "/ck") \
-        .awaitTermination(300)
+    if not stream_check_suite(spark, inp, seq.schema, runner,
+                              base + "/ck").awaitTermination(300):
+        raise RuntimeError("stream batch 1 did not drain within 300 s")
     seq.filter(~F.col("source").isin(half)).write.mode("append").parquet(inp)
-    stream_check_suite(spark, inp, seq.schema, runner, base + "/ck") \
-        .awaitTermination(300)
+    if not stream_check_suite(spark, inp, seq.schema, runner,
+                              base + "/ck").awaitTermination(300):
+        raise RuntimeError("stream batch 2 did not drain within 300 s")
     return runner.verdicts().select(
         "partition_id", "check_id",
         F.col("passed").cast("int").alias("passed"),
@@ -768,7 +770,9 @@ def _q_seq_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .outputMode("update")
                 .option("checkpointLocation", ck)
                 .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            raise RuntimeError("stateful stream did not drain within 300 s "
+                               "(partial stats would be WRONG, not slow)")
 
     drain()
     src.filter(~F.col("source").isin(half)).write.mode("append").parquet(inp)

@@ -86,6 +86,10 @@ def main() -> None:
         t0 = time.perf_counter()
         rows[name] = fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # per-query isolation: operators that persist intermediates
+        # (minhash shingles, drift count grids) must not leave cache for —
+        # or borrow cache from — other queries' timings
+        spark.catalog.clearCache()
 
     # skew stress extras (not in the headline total): uniqueness+referential
     # on the hot-partition/hot-key fixture vs its uniform twin — the ratio is

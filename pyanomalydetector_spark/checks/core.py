@@ -365,37 +365,48 @@ def _check_token_invariant(df: DataFrame, check: Check, pcol: str) -> CheckResul
     below-shuffle gate).
     """
     expected_df: DataFrame = check.params["expected"]
-    exp = expected_df.select(
-        "doc_id",
-        F.xxhash64("tokens").alias("_exp_hash"),
-        F.size("tokens").alias("_exp_len"),
-    ).dropDuplicates(["doc_id"])
-    # group by (partition, doc_id) with mutable-typed (long) aggregates —
-    # a dropDuplicates here would carry the string partition column through
-    # a first() buffer and fall back to SortAggregate on the full scan
+    # snapshot side: deterministic min-digest per doc (a snapshot with
+    # conflicting duplicate doc_ids is ill-defined; min is stable)
+    exp = expected_df.groupBy("doc_id").agg(
+        F.min(F.xxhash64("tokens")).alias("_exp_hash"),
+        F.min(F.size("tokens")).alias("_exp_len"),
+    )
+    # observed side: group by (partition, doc_id) with mutable-typed (long)
+    # aggregates — a dropDuplicates here would carry the string partition
+    # column through a first() buffer and fall back to SortAggregate on the
+    # full scan. min AND max digests: every copy of the doc matches the
+    # snapshot ⟺ min = max = expected, so a corrupted DUPLICATE row can
+    # never hide behind a clean copy.
     obs = df.groupBy(pcol, "doc_id").agg(
+        F.min(F.xxhash64("tokens")).alias("_obs_hash_min"),
         F.max(F.xxhash64("tokens")).alias("_obs_hash"),
+        F.min(F.size("tokens")).alias("_obs_len_min"),
         F.max(F.size("tokens")).alias("_obs_len"),
     )
 
     mismatch = (
         F.col("_exp_hash").isNull()
         | (F.col("_obs_hash") != F.col("_exp_hash"))
+        | (F.col("_obs_hash_min") != F.col("_exp_hash"))
         | (F.col("_obs_len") != F.col("_exp_len"))
+        | (F.col("_obs_len_min") != F.col("_exp_len"))
     )
     cand = obs.join(exp, "doc_id", "left").filter(mismatch)
 
-    # exact confirm: re-scan ONLY candidate rows, keys broadcast to the scans
+    # exact confirm: re-scan ONLY candidate rows, keys broadcast to the
+    # scans. EVERY copy of a candidate doc is compared (no dedup on the
+    # observed side): a doc is bad iff ANY of its rows differs from the
+    # snapshot array.
     keys = cand.select("doc_id")
-    obs_tok = df.join(F.broadcast(keys), "doc_id") \
-                .select("doc_id", "tokens").dropDuplicates(["doc_id"])
+    obs_tok = df.join(F.broadcast(keys), "doc_id").select("doc_id", "tokens")
     exp_tok = expected_df.join(F.broadcast(keys), "doc_id") \
-                         .select("doc_id", F.col("tokens").alias("_exp_tokens")) \
-                         .dropDuplicates(["doc_id"])
+                         .groupBy("doc_id") \
+                         .agg(F.min_by("tokens", F.xxhash64("tokens"))
+                               .alias("_exp_tokens"))
     confirmed = obs_tok.join(F.broadcast(exp_tok), "doc_id", "left") \
         .filter(F.col("_exp_tokens").isNull()
                 | (F.col("tokens") != F.col("_exp_tokens"))) \
-        .select("doc_id")
+        .select("doc_id").distinct()
     bad = cand.join(F.broadcast(confirmed), "doc_id", "left_semi")
 
     rows = obs.groupBy(F.col(pcol).alias("partition_id")).agg(

@@ -180,10 +180,19 @@ def length_percentiles(df, keys: list[str], value_col: str,
     """
     from pyspark.sql import functions as F
 
+    def pname(p: float) -> str:
+        # decimal-faithful name: 0.5→p_50, 0.99→p_99, 0.999→p_99_9,
+        # 0.29→p_29 (int(p*100) would truncate float error to p_28 and
+        # collide 0.99 with 0.999)
+        s = ("%f" % round(p * 100, 6)).rstrip("0").rstrip(".")
+        return "p_" + s.replace(".", "_")
+
+    names = [pname(p) for p in ps]
+    if len(set(names)) != len(names):
+        raise ValueError(f"percentile names collide: {names}")
     arr = "array(" + ", ".join(str(p) for p in ps) + ")"
     fn = "percentile" if exact else "approx_percentile"
     agg = F.expr(f"{fn}({value_col}, {arr})").alias("_ps")
     out = df.groupBy(*keys).agg(agg)
-    cols = [F.col("_ps")[i].alias(f"p_{int(p * 100)}")
-            for i, p in enumerate(ps)]
+    cols = [F.col("_ps")[i].alias(n) for i, n in enumerate(names)]
     return out.select(*keys, *cols)

@@ -303,7 +303,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 
 # ------------------------------------------------- duplicate clusters ----
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected components over near-dup pair edges — the dedup stage after
     pair generation: every doc maps to its cluster representative (the
     smallest doc id reachable through dup edges), which is the canonical
@@ -346,6 +346,12 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new
         if changed.isEmpty():
             break
+    else:
+        # silent non-convergence would return WRONG representatives for
+        # components deeper than max_iters — fail loudly instead
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            "(a dup chain deeper than the iteration cap); raise max_iters")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_rep"))
 

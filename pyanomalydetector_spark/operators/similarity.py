@@ -125,7 +125,11 @@ def cosine_pairs_above_lsh(emb: DataFrame, threshold: float = 0.9,
     import pandas as pd
 
     rows_per_band = n_bits // bands
-    dim = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).dropna().first()
+    if head is None:       # empty/all-null input → empty result, like brute
+        return emb.sparkSession.createDataFrame(
+            [], "d1 long, d2 long, cos_sim double")
+    dim = len(head[0])
     H = np.random.default_rng(1234567).standard_normal((n_bits, dim))
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(H)

@@ -46,20 +46,25 @@ def load_config(default_path: str, override_path: str | None = None,
     """Load defaults, merge an override per top-level key (dicts update,
     scalars/lists replace), render templates, cascade into data sources —
     the reference loader's exact pipeline."""
-    with open(default_path) as f:
-        conf = yaml.safe_load(f) or {}
+    ctx = dict(os.environ)
+    ctx.update(context or {})
+
+    # render templates over the RAW file text BEFORE parsing — the
+    # reference renders after a yaml.dump round-trip (config_loader.py:49),
+    # where a substituted value containing a quote/newline/# corrupts the
+    # re-parse; raw-text-first has the same semantics for {{ VAR }}
+    # interpolation without that failure mode
+    def load_rendered(path: str) -> dict:
+        with open(path) as f:
+            return yaml.safe_load(_render(f.read(), ctx)) or {}
+
+    conf = load_rendered(default_path)
     if override_path:
-        with open(override_path) as f:
-            override = yaml.safe_load(f) or {}
-        for key, value in override.items():
+        for key, value in load_rendered(override_path).items():
             if isinstance(value, dict) and key in conf:
                 conf[key].update(value)
             else:
                 conf[key] = value
-
-    ctx = dict(os.environ)
-    ctx.update(context or {})
-    conf = yaml.safe_load(_render(yaml.dump(conf), ctx))
 
     _cascade(conf, "data_sources")
     _cascade(conf, "view_sources")

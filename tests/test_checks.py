@@ -151,3 +151,22 @@ def test_results_invariant_under_shuffle_partitioning(spark, seq):
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     assert run_at(3) == run_at(17)
+
+
+def test_token_invariant_corrupted_duplicate_not_masked(spark):
+    """A corrupted DUPLICATE row must be flagged even when a clean copy of
+    the same doc_id exists in the partition (min+max digest comparison +
+    all-copies exact confirm)."""
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    snapshot = spark.createDataFrame(
+        [("d1", [5, 6, 7], 3, "s1"), ("d2", [9, 9], 2, "s1")], schema)
+    observed = spark.createDataFrame(
+        [("d1", [5, 6, 7], 3, "s1"),     # clean copy
+         ("d1", [1], 1, "s1"),           # corrupted duplicate
+         ("d2", [9, 9], 2, "s1")], schema)
+    res = run_checks(observed,
+                     [Check("tok", "token_invariant", {"expected": snapshot})])
+    bad = {r["doc_id"] for r in res.violations.collect()}
+    assert bad == {"d1"}
+    v = res.verdicts.collect()[0]
+    assert not v["passed"] and v["n_violations"] == 1

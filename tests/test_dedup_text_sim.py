@@ -333,3 +333,17 @@ def test_repetition_and_pii_extremes(spark):
     assert (pii[3]["n_email"], pii[3]["n_phone"], pii[3]["n_ssn"]) == (1, 1, 1)
     assert pii[3]["n_pii"] == 3
     assert pii[1]["n_pii"] == 0
+
+
+def test_duplicate_clusters_raises_when_unconverged(spark):
+    """A chain deeper than the iteration cap must raise, never return a
+    partially propagated labelling."""
+    from pyanomalydetector_spark.operators.dedup import duplicate_clusters
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "d1 long, d2 long")
+    # converges fine with the default cap
+    got = {r["doc_id"]: r["cluster_rep"]
+           for r in duplicate_clusters(chain).collect()}
+    assert set(got.values()) == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iters=3)
