@@ -79,6 +79,8 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 4)
             rows[name] = n_v + n_viol
             n_seq = seq.count()
+            res.unpersist()
+            spark.catalog.clearCache()
             continue
         fn = qs.get(name)
         if fn is None:
