@@ -183,8 +183,13 @@ def _q_seq_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_with_eos").cast("bigint").alias("total_with_eos"),
         F.floor(F.col("total_with_eos") / ctx).cast("bigint")
          .alias("n_contexts"),
-        F.round(F.try_divide(F.pmod("total_with_eos", F.lit(ctx)),
-                             F.col("total_with_eos")), 6)
+        # Engine-portable 6-decimal rounding: round-half-up in pure integer
+        # arithmetic (k = (rem*2e6 + tot) div (2*tot)), then k/1e6 — IEEE
+        # division of identical integers is correctly rounded, so Spark and
+        # DuckDB land on the same double bit pattern (Spark round() uses
+        # BigDecimal HALF_UP and can differ by one ULP from DuckDB ROUND).
+        (F.expr(f"(pmod(total_with_eos, {ctx}) * 2000000 + total_with_eos) "
+                f"div (2 * total_with_eos)") / F.lit(1000000.0))
          .alias("tail_waste_frac"))
 
 
@@ -1901,8 +1906,12 @@ def oracle_sql() -> dict[str, str]:
                    SUM(n_tok) + COUNT(*) AS total_with_eos,
                    CAST(FLOOR((SUM(n_tok) + COUNT(*)) / 2048.0) AS BIGINT)
                        AS n_contexts,
-                   ROUND(((SUM(n_tok) + COUNT(*)) % 2048) * 1.0
-                         / (SUM(n_tok) + COUNT(*)), 6) AS tail_waste_frac
+                   -- integer round-half-up to 6 dp, then /1e6: bit-identical
+                   -- to the Spark query's arithmetic (see _q_seq_packing_stats)
+                   ((((SUM(n_tok) + COUNT(*)) % 2048) * 2000000
+                     + (SUM(n_tok) + COUNT(*)))
+                    // (2 * (SUM(n_tok) + COUNT(*)))) / 1000000.0
+                       AS tail_waste_frac
             FROM {_SEQ}
             GROUP BY source
         """,

@@ -215,14 +215,25 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
         cache_registry.append(sh)
     cand = lsh_candidates(minhash_signatures(sh, num_hashes), bands, rows)
 
-    # Exact-verify ONLY the candidate pairs: join the (tiny) candidate set
-    # against per-doc shingle sets and take array_intersect — never the
-    # full inverted-index self-join (that's the brute-force oracle path;
+    # Exact-verify ONLY the candidate pairs: join the candidate set against
+    # per-doc shingle sets and take array_intersect — never the full
+    # inverted-index self-join (that's the brute-force oracle path;
     # re-using it here would make LSH do strictly more work than brute).
-    # Broadcasting the candidates keeps the shingle-set payload unshuffled.
-    sets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("_shs"))
+    #
+    # Scale discipline (100 TB): (a) semi-join the shingle frame to the
+    # candidate doc-id set BEFORE collect_set, so only candidate docs'
+    # shingles ever shuffle — a web corpus with a sparse near-dup rate
+    # must not pay a full-corpus shingle shuffle just to verify;
+    # (b) no static broadcast hint on the candidate frame — duplicate-heavy
+    # corpora (30-50 % dup rates) make it billions of rows, which would OOM
+    # a forced broadcast. AQE broadcasts it at runtime when it actually fits.
+    cand_ids = (cand.select(F.col("d1").alias("doc_id"))
+                    .unionByName(cand.select(F.col("d2").alias("doc_id")))
+                    .distinct())
+    sets = (sh.join(cand_ids, "doc_id", "left_semi")
+              .groupBy("doc_id").agg(F.collect_set("sh").alias("_shs")))
     j = sets.select(F.col("doc_id").alias("d1"), F.col("_shs").alias("_s1")) \
-            .join(F.broadcast(cand), "d1") \
+            .join(cand, "d1") \
             .join(sets.select(F.col("doc_id").alias("d2"),
                               F.col("_shs").alias("_s2")), "d2")
     inter = F.size(F.array_intersect("_s1", "_s2"))

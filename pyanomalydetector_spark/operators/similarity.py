@@ -137,6 +137,15 @@ def cosine_pairs_above_lsh(emb: DataFrame, threshold: float = 0.9,
     def buckets(batches):
         Hm = bc.value
         for pdf in batches:
+            # scrub null/ragged embeddings (mirrors the blocked-BLAS
+            # unit_rows scrub): a null vector would TypeError in np.array,
+            # a wrong-length one would break the matmul — both are rows the
+            # brute path null-safely drops via try_divide.
+            ok = pdf[vec_col].map(
+                lambda v: v is not None and len(v) == dim)
+            pdf = pdf[ok]
+            if pdf.empty:
+                continue
             M = np.array(pdf[vec_col].map(list).tolist(), dtype=np.float64)
             bits = (M @ Hm.T) > 0                        # [n, n_bits]
             ids, bnd, key = [], [], []
@@ -156,12 +165,14 @@ def cosine_pairs_above_lsh(emb: DataFrame, threshold: float = 0.9,
               .filter(F.col("d1") < F.col("d2"))
               .select("d1", "d2").distinct())
 
-    # exact verify on candidates only (broadcast the tiny candidate set)
+    # Exact verify on candidates only. No static broadcast hint on the
+    # candidate frame: near-dup-heavy corpora make it arbitrarily large
+    # (a forced broadcast would OOM); AQE broadcasts at runtime if it fits.
     base = with_norm(emb, vec_col).select(
         F.col(id_col).alias("_id"), "_v", "_norm")
     j = base.withColumnRenamed("_id", "d1") \
             .withColumnsRenamed({"_v": "_va", "_norm": "_na"}) \
-            .join(F.broadcast(cand), "d1") \
+            .join(cand, "d1") \
             .join(base.withColumnRenamed("_id", "d2")
                       .withColumnsRenamed({"_v": "_vb", "_norm": "_nb"}), "d2")
     sim = F.try_divide(_dot(F.col("_va"), F.col("_vb")),
@@ -189,8 +200,13 @@ def train_ivf_codebook(emb: DataFrame, n_cells: int = 16, n_iters: int = 5,
 
     base = emb.select(F.col(id_col).alias("vid"),
                       _as_double(F.col(vec_col)).alias("v"))
-    seeds = base.orderBy(F.pmod(F.xxhash64("vid"), F.lit(1_000_003)), "vid") \
+    seeds = base.filter(F.col("v").isNotNull()) \
+                .orderBy(F.pmod(F.xxhash64("vid"), F.lit(1_000_003)), "vid") \
                 .limit(n_cells).collect()
+    if not seeds:
+        raise ValueError("train_ivf_codebook: no non-null embeddings to seed")
+    # a corpus smaller than n_cells degrades to fewer cells, not a crash
+    n_cells = min(n_cells, len(seeds))
     cents = np.array([r["v"] for r in seeds], dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
@@ -201,7 +217,12 @@ def train_ivf_codebook(emb: DataFrame, n_cells: int = 16, n_iters: int = 5,
         def partials(batches):
             import pandas as pd
             C = bc.value
+            d = C.shape[1]
             for pdf in batches:
+                ok = pdf["v"].map(lambda v: v is not None and len(v) == d)
+                pdf = pdf[ok]
+                if pdf.empty:
+                    continue
                 M = np.array(pdf["v"].tolist(), dtype=np.float64)
                 Mn = M / np.maximum(
                     np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
@@ -246,7 +267,14 @@ def assign_cells(emb: DataFrame, cents, vec_col: str = "embedding",
 
     def assign(batches):
         C = bc.value
+        d = C.shape[1]
         for pdf in batches:
+            # null/ragged embeddings cannot be assigned a cell — drop them
+            # (the exact search over cells would never score them either)
+            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == d)
+            pdf = pdf[ok]
+            if pdf.empty:
+                continue
             M = np.array(pdf[vec_col].map(list).tolist(), dtype=np.float64)
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
                                 1e-12)

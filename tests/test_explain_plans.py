@@ -105,6 +105,47 @@ def test_token_invariant_no_payload_below_shuffle(spark, sf_dir):
             assert not any("tokens" in c.lower() for c in cols), cols
 
 
+def test_minhash_verify_shuffles_candidates_only(spark, sf_dir):
+    """The minhash exact-verify stage must (a) build shingle sets only for
+    candidate docs — the collect_set aggregate sits ABOVE a left-semi join
+    against the candidate doc-id set, so non-candidate shingles never
+    shuffle — and (b) carry no static broadcast hint on the candidate
+    frame (duplicate-heavy corpora make it unbounded; AQE may still choose
+    a broadcast at runtime when it fits)."""
+    from pyanomalydetector_spark.operators.dedup import minhash_dedup_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    reg = []
+    pairs = minhash_dedup_pairs(docs, cache_registry=reg)
+
+    qe = pairs._jdf.queryExecution()
+    # (b): a static hint would survive into the optimized logical plan as
+    # strategy=broadcast on the verify join
+    assert "strategy=broadcast" not in qe.optimizedPlan().toString()
+
+    # (a): some ObjectHashAggregate computing collect_set must have a
+    # LeftSemi join somewhere beneath it
+    jplan = qe.executedPlan()
+    if jplan.nodeName().startswith("AdaptiveSparkPlan"):
+        jplan = jplan.initialPlan()
+
+    def subtree_str(node):
+        return node.toString()
+
+    def walk(node, found):
+        s = node.nodeName()
+        if "Aggregate" in s and "collect_set" in node.verboseString(10_000):
+            found.append("LeftSemi" in subtree_str(node))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i), found)
+        return found
+
+    flags = walk(jplan, [])
+    assert flags, "no collect_set aggregate found in the verify plan"
+    assert any(flags), "collect_set aggregate has no candidate semi-join below"
+    for df in reg:
+        df.unpersist()
+
+
 def test_semi_join_stays_semi(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
