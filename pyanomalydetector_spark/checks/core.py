@@ -450,10 +450,15 @@ def _check_drift(df: DataFrame, check: Check, pcol: str, stat: str) -> CheckResu
                 df, pcol, value_col, pinned["lo"], pinned["hi"],
                 pinned["counts"], pinned["n_base"])
         else:
-            scored = psi_by_partition(df, pcol, value_col,
-                                      n_buckets=int(check.params.get("buckets", 10)),
-                                      baseline=baseline,
-                                      cache_registry=cache_registry)
+            scored = psi_by_partition(
+                df, pcol, value_col,
+                n_buckets=int(check.params.get("buckets", 10)),
+                baseline=baseline, cache_registry=cache_registry,
+                # opt-in one-scan route for structurally bounded columns
+                # (token length is capped by the context size); unbounded
+                # continuous columns keep the two-pass fixed-width path
+                low_cardinality=bool(check.params.get("low_cardinality",
+                                                      False)))
         obs = "psi"
     else:
         base_counts = check.params.get("baseline_counts")

@@ -23,29 +23,49 @@ PSI_SMOOTH = 0.5  # Laplace smoothing added to every bucket count
 def psi_by_partition(df: DataFrame, partition_col: str, value_col: str,
                      n_buckets: int = 10,
                      baseline: DataFrame | None = None,
-                     cache_registry: list | None = None) -> DataFrame:
+                     cache_registry: list | None = None,
+                     low_cardinality: bool = False) -> DataFrame:
     """Population Stability Index of ``value_col`` per partition vs baseline.
 
     Fixed-width buckets over the baseline's [min, max]; counts smoothed with
     ``PSI_SMOOTH`` so empty buckets don't blow up the log. Returns
     ``(partition_id, psi)``. ``cache_registry`` collects persisted
     intermediates for the caller to unpersist (see :func:`ks_by_partition`).
+
+    ``low_cardinality=True`` (self-baseline only): route through a
+    per-(partition, value) counts frame — ONE scan and one shuffle of
+    O(partitions × distinct values) state; the [min, max] bounds and the
+    baseline histogram both derive from the cached counts, so no second
+    bounds pass over the raw input. Identical math (values are bucketed
+    exactly as rows would be; counts sum). This is the right route for
+    structurally bounded columns — token length is capped by the context
+    size, so its distinct-value count is O(max_seq_len) at ANY corpus
+    scale — while unbounded continuous columns should keep the default
+    two-pass fixed-width path.
     """
+    if low_cardinality and baseline is None:
+        return _psi_low_cardinality(df, partition_col, value_col, n_buckets,
+                                    cache_registry)
     base = baseline if baseline is not None else df
     v = F.col(value_col).cast("double")
 
-    bounds = base.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
-    # tiny 1-row frame → broadcast join onto both sides
-    b = F.broadcast(bounds)
+    # Materialize the 1-row bounds EAGERLY (one map-side-combined min/max
+    # job — parquet column stats make this nearly free) and fold them in as
+    # literals. The previous crossJoin(broadcast(bounds)) formulation was
+    # re-embedded into every downstream branch by AQE replanning, blowing
+    # the audited plan up to 16 scans (BENCH r1→r2 psi regression); with
+    # literal bounds each branch is a plain scan→groupBy that the
+    # part_counts persist dedupes.
+    row = base.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+    lo, hi = row["lo"], row["hi"]
 
     def bucketize(frame: DataFrame) -> DataFrame:
-        width = (F.col("hi") - F.col("lo")) / F.lit(n_buckets)
-        raw = F.floor((F.col(value_col).cast("double") - F.col("lo")) / width)
+        if lo is None or hi == lo:      # empty input / degenerate range
+            return frame.withColumn("bucket", F.lit(0))
+        width = F.lit((hi - lo) / n_buckets)
+        raw = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / width)
         bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
-        return frame.crossJoin(b).withColumn(
-            "bucket",
-            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(bucket),
-        )
+        return frame.withColumn("bucket", bucket)
 
     part_counts = (
         bucketize(df)
@@ -60,6 +80,11 @@ def psi_by_partition(df: DataFrame, partition_col: str, value_col: str,
         part_counts = part_counts.persist()
         if cache_registry is not None:
             cache_registry.append(part_counts)
+        # materialize the cache NOW: the histogram is tiny (#partitions ×
+        # n_buckets rows, independent of input size) and three downstream
+        # frames re-derive from it — an unmaterialized persist left AQE
+        # re-planning each branch back to the raw scan
+        part_counts.count()
         parts = part_counts.select("partition_id").distinct()
         base_counts = part_counts.groupBy("bucket").agg(
             F.sum("c_p").alias("c_b"))
@@ -74,9 +99,17 @@ def psi_by_partition(df: DataFrame, partition_col: str, value_col: str,
         )
         base_total = base.agg(F.count(F.lit(1)).cast("double").alias("n_base"))
 
-    # full bucket grid per partition so zero-count buckets still get smoothing
+    return _psi_finish(df.sparkSession, parts, part_counts, base_counts,
+                       base_total, n_buckets)
+
+
+def _psi_finish(spark, parts: DataFrame, part_counts: DataFrame,
+                base_counts: DataFrame, base_total: DataFrame,
+                n_buckets: int) -> DataFrame:
+    """Shared PSI tail: full (partition × bucket) grid (so zero-count buckets
+    still get smoothing), smoothed p/q, Σ (p−q)·ln(p/q)."""
     grid = parts.crossJoin(
-        df.sparkSession.range(n_buckets).select(F.col("id").alias("bucket")))
+        spark.range(n_buckets).select(F.col("id").alias("bucket")))
 
     joined = (
         grid.join(part_counts, ["partition_id", "bucket"], "left")
@@ -97,6 +130,46 @@ def psi_by_partition(df: DataFrame, partition_col: str, value_col: str,
               .groupBy("partition_id")
               .agg(F.sum("term").alias("psi"))
     )
+
+
+def _psi_low_cardinality(df: DataFrame, partition_col: str, value_col: str,
+                         n_buckets: int,
+                         cache_registry: list | None) -> DataFrame:
+    """Self-baseline PSI via per-(partition, value) counts — see
+    :func:`psi_by_partition` (``low_cardinality=True``).
+
+    The raw input is scanned exactly once (the counts shuffle); bounds,
+    the per-partition histograms AND the baseline histogram all derive
+    from the cached counts frame, whose size is O(partitions × distinct
+    values) regardless of row count. Bucketing values then summing their
+    counts is algebraically identical to bucketing rows.
+    """
+    v = F.col(value_col).cast("double").alias("v")
+    pvc = (
+        df.select(F.col(partition_col).alias("partition_id"), v)
+          .groupBy("partition_id", "v").agg(F.count(F.lit(1)).alias("c_p"))
+          .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(pvc)
+
+    row = pvc.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None or hi == lo:
+        bucket = F.lit(0)
+    else:
+        width = F.lit((hi - lo) / n_buckets)
+        raw = F.floor((F.col("v") - F.lit(lo)) / width)
+        bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+    bucketed = pvc.withColumn("bucket", bucket)
+
+    part_counts = bucketed.groupBy("partition_id", "bucket") \
+                          .agg(F.sum("c_p").alias("c_p"))
+    parts = pvc.select("partition_id").distinct()
+    base_counts = bucketed.groupBy("bucket").agg(F.sum("c_p").alias("c_b"))
+    base_total = pvc.agg(F.sum("c_p").cast("double").alias("n_base"))
+    return _psi_finish(df.sparkSession, parts, part_counts, base_counts,
+                       base_total, n_buckets)
 
 
 def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,

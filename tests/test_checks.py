@@ -128,6 +128,22 @@ def test_jsonl_source_equals_parquet_source(spark, sf_dir):
     assert a == b
 
 
+def test_psi_low_cardinality_route_equals_two_pass(spark, seq):
+    """The one-scan value-counts PSI route (for structurally bounded columns
+    like token length) must produce the same statistic as the default
+    two-pass fixed-width path — bucketing values then summing their counts
+    is algebraically identical to bucketing rows."""
+    from pyanomalydetector_spark.checks.drift import psi_by_partition
+    a = {r["partition_id"]: r["psi"]
+         for r in psi_by_partition(seq, "source", "n_tok").collect()}
+    b = {r["partition_id"]: r["psi"]
+         for r in psi_by_partition(seq, "source", "n_tok",
+                                   low_cardinality=True).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12), k
+
+
 def test_results_invariant_under_shuffle_partitioning(spark, seq):
     """Distributed-correctness property: verdicts must be identical at any
     shuffle-partition count (hash/order-sensitivity bugs surface here)."""

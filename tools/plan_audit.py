@@ -74,16 +74,40 @@ def audit_one(spark, name, fn):
     spark.conf.set("spark.sql.maxMetadataStringLength", "300")
     try:
         text = jplan.toString()
+
+        # Collect scans from the TREE, not the full plan string: an
+        # InMemoryTableScan prints its cached child plan (including the
+        # FileScan that built the cache) as inner children, which the old
+        # text regex miscounted as live scans — execution reads the cache,
+        # not the file. Leaf-node toString only describes the node itself.
+        scans = []
+
+        def collect_scans(p):
+            name = p.nodeName()
+            if name == "InMemoryTableScan":
+                cols = [p.output().apply(i).name()
+                        for i in range(p.output().size())]
+                scans.append((cols, "CACHED"))
+                return          # cached child plan does not execute
+            if name.startswith("Scan"):
+                s = p.toString().splitlines()[0]
+                m = re.search(r"ReadSchema: struct<([^>]*)", s)
+                cols = ([c.split(":")[0] for c in m.group(1).split(",") if c]
+                        if m else [p.output().apply(i).name()
+                                   for i in range(p.output().size())])
+                pf = re.search(r"PushedFilters: \[([^\]]*)", s)
+                scans.append((cols, pf.group(1) if pf else ""))
+            if "QueryStage" in name:
+                try:
+                    collect_scans(p.plan())
+                except Exception:
+                    pass
+            for i in range(p.children().size()):
+                collect_scans(p.children().apply(i))
+
+        collect_scans(jplan)
     finally:
         spark.conf.set("spark.sql.maxMetadataStringLength", prev)
-
-    scans = []
-    for ln in text.splitlines():
-        m = re.search(r"ReadSchema: struct<([^>]*)", ln)
-        if m:
-            cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
-            pf = re.search(r"PushedFilters: \[([^\]]*)", ln)
-            scans.append((cols, pf.group(1) if pf else ""))
 
     joins = {k: v for k, v in counts.items() if k in JOIN_NODES}
     codegen = sum(v for k, v in counts.items()
@@ -124,8 +148,13 @@ def main() -> None:
         "## Reading notes (intentional non-defaults)",
         "",
         "- BroadcastNestedLoopJoin appears only for broadcast-side frames of",
-        "  O(1) or O(queries) rows (PSI/KS bounds, ANN query sets, cosine",
-        "  block grid) — the right physical op for a tiny cross join.",
+        "  O(1) or O(queries) rows (PSI/KS totals and bucket grids, ANN query",
+        "  sets, cosine block grid) — the right physical op for a tiny cross",
+        "  join.",
+        "- 'cached scan' rows are InMemoryTableScans of a persisted",
+        "  aggregate (e.g. PSI's partition histogram, minhash's candidate",
+        "  shingle frame): the underlying file is read ONCE when the cache",
+        "  builds; downstream branches replay the cache, not the scan.",
         "- seq_token_invariant's 4 SortAggregate nodes are the exact-confirm",
         "  dedups over the CANDIDATE set only (token arrays in the agg buffer",
         "  are not hash-aggregable); the full-table digest pass is pure",
@@ -146,8 +175,12 @@ def main() -> None:
         details.append(f"### {name}")
         for cols, pf in a["scans"]:
             pf = pf.strip().rstrip(",")
-            details.append(f"- scan [{', '.join(cols)}]"
-                           + (f" — pushed: {pf}" if pf else ""))
+            if pf == "CACHED":
+                details.append(f"- cached scan [{', '.join(cols)}] "
+                               "(InMemoryTableScan — no file read)")
+            else:
+                details.append(f"- scan [{', '.join(cols)}]"
+                               + (f" — pushed: {pf}" if pf else ""))
         details.append("")
         print(name, "ok", file=sys.stderr)
 
