@@ -564,12 +564,18 @@ def _q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed ANN over a TRAINED spherical-k-means codebook (distributed
-    Lloyd, deterministic init — rows-only: approximate; recall >= 0.9 vs the
-    exact baseline asserted in tests/test_dedup_text_sim.py)."""
+    """IVF ANN over a TRAINED spherical-k-means codebook (distributed Lloyd,
+    deterministic hash-sample init), probing ALL cells — the oracle-checkable
+    IVF invariant: with n_probe = n_cells the cell partitioning must recover
+    the exact brute-force top-k (no vector lost or double-counted by
+    train→assign→probe), so the exact-top-k SQL is the oracle. The
+    approximation path (n_probe < n_cells) is pinned separately by the
+    recall ≥ 0.9 test on a clustered corpus (tests/test_dedup_text_sim.py —
+    the driver fixture is isotropic, where recall is bounded by the probe
+    fraction for ANY IVF implementation)."""
     from pyanomalydetector_spark.operators.similarity import ivf_topk_trained
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk_trained(emb, ANN_QUERY_IDS, k=5, n_probe=4,
+    return ivf_topk_trained(emb, ANN_QUERY_IDS, k=5, n_probe=16,
                             n_cells=16, n_iters=4).select(
         F.col("q_id").cast("bigint"), F.col("vec_id").cast("bigint"),
         F.round("cos_sim", 6).alias("cos_sim"),
@@ -682,16 +688,15 @@ def _q_seq_column_stats_welford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ev_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage DBSCAN grouping of cascade survivors (M1-M6; driver-final
-    over the small violation set — rows-only check)."""
+    over the small violation set). Oracle: recursive-CTE density
+    connectivity in DuckDB — pairwise Jaccard/correlation distances in SQL,
+    core points by neighbor count, clusters as connected components over
+    core-core edges (creation order = ascending min core id, matching the
+    deterministic index-order numpy sweep), borders attached to the
+    earliest-created adjacent cluster."""
     from pyanomalydetector_spark.operators.cluster import classify_series
-    cfg = DetectorConfig(detect1_lambda_threshold=1.0,
-                         detect2_lambda_threshold=1.0,
-                         detect3_lambda_threshold1=1.5,
-                         detect3_lambda_threshold2=1.0,
-                         ignore_diff_rate=0.01,
-                         anomaly_valid_count_rate=0.001)
     survivors = [r["itemid"] for r in
-                 detect_pipeline(spark, sf_dir, cfg).collect()]
+                 detect_pipeline(spark, sf_dir, _CASCADE_CFG).collect()]
     hist, _ = _hist_trend(spark, sf_dir)
     return classify_series(hist, survivors, sigma=2.0, eps1=0.9, eps2=0.7) \
         .select(F.col("itemid").cast("bigint"), F.col("clusterid").cast("bigint"))
@@ -1247,6 +1252,26 @@ def _suite_verdicts_sql(seq: str) -> str:
     """
 
 
+# exact cosine top-k per query id (shared by emb_ann_topk and the
+# full-probe emb_ann_ivf invariant)
+_ANN_TOPK_SQL = f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM base
+          WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),
+    s AS (SELECT q_id, vec_id,
+                 list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) *
+                  sqrt(list_dot_product(qv, qv))) AS cos_sim
+          FROM base CROSS JOIN q WHERE vec_id <> q_id),
+    r AS (SELECT q_id, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM s)
+    SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, rank
+    FROM r WHERE rank <= 5
+"""
+
+
 # word-3-gram Jaccard brute force (shared by the brute and MinHash queries —
 # the LSH path is exact-verified, so the same oracle applies)
 _JACCARD_SQL = """
@@ -1320,8 +1345,145 @@ def oracle_sql() -> dict[str, str]:
         SELECT itemid FROM {c4_fin} INTERSECT SELECT itemid FROM s3
     """
 
+    # --- ev_cluster: two-stage DBSCAN as recursive-CTE density connectivity.
+    # Mirrors operators/cluster.py exactly: survivors = the cascade oracle;
+    # dense (item × clock-union) grid with missing→0; stage 1 = DBSCAN
+    # (eps=0.9, min_samples=2) on Jaccard distance of |z|>2 indicators;
+    # stage 2 = DBSCAN (eps=0.7) on blended correlation distance
+    # ½(1−|corr(x)|)+½(1−|corr(Δx)|) (NaN→per-cluster max finite) within
+    # each stage-1 cluster of ≥2 members. The numpy sweep visits points in
+    # ascending id order, so cluster creation order = ascending min core id:
+    # components get DENSE_RANK by min-core-root and borders attach to the
+    # minimum-rank adjacent cluster — label-exact, not just partition-exact.
+    cluster_sql = f"""
+        WITH RECURSIVE evbase AS MATERIALIZED
+            (SELECT user_id AS itemid,
+                    CAST(FLOOR(epoch(ts)) AS BIGINT) AS clock,
+                    CAST(value AS DOUBLE) AS value FROM events),
+        {c1_ctes}, {c2_ctes}, {c3_ctes}, {c4_ctes},
+        s1 AS (SELECT DISTINCT itemid FROM {c1_fin}),
+        s2 AS (SELECT DISTINCT itemid FROM {c2_fin}
+               WHERE itemid IN (SELECT itemid FROM s1)),
+        s3 AS (SELECT DISTINCT itemid FROM {c3_fin}
+               WHERE itemid IN (SELECT itemid FROM s2)),
+        surv AS MATERIALIZED (SELECT DISTINCT itemid FROM {c4_fin}
+                 WHERE itemid IN (SELECT itemid FROM s3)),
+        ev AS MATERIALIZED (SELECT itemid, clock, MAX(value) AS v
+               FROM {_HIST} h
+               WHERE itemid IN (SELECT itemid FROM surv)
+               GROUP BY itemid, clock),
+        items AS MATERIALIZED (SELECT DISTINCT itemid FROM ev),
+        clocks AS MATERIALIZED (SELECT DISTINCT clock FROM ev),
+        grid AS MATERIALIZED (SELECT i.itemid, c.clock, COALESCE(e.v, 0) AS v
+                 FROM items i CROSS JOIN clocks c
+                 LEFT JOIN ev e ON e.itemid = i.itemid AND e.clock = c.clock),
+        st AS MATERIALIZED (SELECT itemid, AVG(v) AS m, STDDEV_SAMP(v) AS s
+               FROM grid GROUP BY 1),
+        ind AS MATERIALIZED (SELECT g.itemid, g.clock,
+                       CASE WHEN st.s > 0 AND ABS((g.v - st.m) / st.s) > 2.0
+                            THEN 1 ELSE 0 END AS a
+                FROM grid g JOIN st ON g.itemid = st.itemid),
+        isum AS MATERIALIZED (SELECT itemid, SUM(a) AS sa FROM ind GROUP BY 1),
+        jpair AS MATERIALIZED (SELECT a.itemid AS i1, b.itemid AS i2,
+                         SUM(a.a * b.a) AS inter
+                  FROM ind a JOIN ind b
+                    ON a.clock = b.clock AND a.itemid < b.itemid
+                  GROUP BY 1, 2),
+        jd0 AS MATERIALIZED (SELECT i1, i2,
+                       CASE WHEN (x.sa + y.sa - inter) > 0
+                            THEN 1.0 - inter * 1.0 / (x.sa + y.sa - inter)
+                            ELSE 1.0 END AS d
+                FROM jpair JOIN isum x ON jpair.i1 = x.itemid
+                           JOIN isum y ON jpair.i2 = y.itemid),
+        jd AS MATERIALIZED (SELECT i1, i2, d FROM jd0
+               UNION ALL SELECT i2 AS i1, i1 AS i2, d FROM jd0),
+        core1 AS MATERIALIZED (SELECT i1 AS itemid FROM jd WHERE d <= 0.9
+                  GROUP BY 1 HAVING COUNT(*) >= 1),
+        ce1 AS MATERIALIZED (SELECT j.i1, j.i2 FROM jd j
+                JOIN core1 a ON j.i1 = a.itemid
+                JOIN core1 b ON j.i2 = b.itemid
+                WHERE j.d <= 0.9),
+        reach1(src, dst) AS (
+            SELECT itemid, itemid FROM core1
+            UNION
+            SELECT r.src, e.i2 FROM reach1 r JOIN ce1 e ON e.i1 = r.dst),
+        comp1 AS (SELECT src AS itemid, MIN(dst) AS root
+                  FROM reach1 GROUP BY 1),
+        cl1 AS (SELECT itemid, DENSE_RANK() OVER (ORDER BY root) - 1 AS l1
+                FROM comp1),
+        border1 AS (SELECT j.i1 AS itemid, MIN(cl1.l1) AS l1
+                    FROM jd j JOIN cl1 ON j.i2 = cl1.itemid
+                    WHERE j.d <= 0.9
+                      AND j.i1 NOT IN (SELECT itemid FROM core1)
+                    GROUP BY 1),
+        lab1 AS MATERIALIZED (SELECT itemid, l1 FROM cl1
+                 UNION ALL SELECT itemid, l1 FROM border1),
+        big1 AS MATERIALIZED (SELECT l1 FROM lab1 GROUP BY l1 HAVING COUNT(*) >= 2),
+        m1 AS MATERIALIZED (SELECT lab1.itemid, lab1.l1 FROM lab1 JOIN big1 USING (l1)),
+        dv AS MATERIALIZED (SELECT itemid, clock, v,
+                      v - LAG(v) OVER (PARTITION BY itemid ORDER BY clock)
+                          AS dvv
+               FROM grid),
+        pair2 AS MATERIALIZED (SELECT a.l1, a.itemid AS i1, b.itemid AS i2
+                  FROM m1 a JOIN m1 b
+                    ON a.l1 = b.l1 AND a.itemid < b.itemid),
+        pc AS MATERIALIZED (SELECT p.l1, p.i1, p.i2,
+                      CORR(gx.v, gy.v) AS c1,
+                      CORR(gx.dvv, gy.dvv) AS c2
+               FROM pair2 p
+               JOIN dv gx ON gx.itemid = p.i1
+               JOIN dv gy ON gy.itemid = p.i2 AND gy.clock = gx.clock
+               GROUP BY 1, 2, 3),
+        d2_0 AS MATERIALIZED (SELECT l1, i1, i2,
+                        CASE WHEN isfinite(0.5 * (1 - ABS(c1))
+                                           + 0.5 * (1 - ABS(c2)))
+                             THEN 0.5 * (1 - ABS(c1)) + 0.5 * (1 - ABS(c2))
+                        END AS d
+                 FROM pc),
+        fill2 AS MATERIALIZED (SELECT l1, COALESCE(MAX(d), 0.0) AS f
+                  FROM d2_0 GROUP BY 1),
+        d2p AS MATERIALIZED (SELECT d0.l1, d0.i1, d0.i2, COALESCE(d0.d, f.f) AS d
+                FROM d2_0 d0 JOIN fill2 f ON d0.l1 = f.l1),
+        d2 AS MATERIALIZED (SELECT l1, i1, i2, d FROM d2p
+               UNION ALL SELECT l1, i2 AS i1, i1 AS i2, d FROM d2p),
+        core2 AS MATERIALIZED (SELECT l1, i1 AS itemid FROM d2 WHERE d <= 0.7
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 1),
+        ce2 AS MATERIALIZED (SELECT d.l1, d.i1, d.i2 FROM d2 d
+                JOIN core2 a ON d.l1 = a.l1 AND d.i1 = a.itemid
+                JOIN core2 b ON d.l1 = b.l1 AND d.i2 = b.itemid
+                WHERE d.d <= 0.7),
+        reach2(l1, src, dst) AS (
+            SELECT l1, itemid, itemid FROM core2
+            UNION
+            SELECT r.l1, r.src, e.i2 FROM reach2 r
+            JOIN ce2 e ON e.l1 = r.l1 AND e.i1 = r.dst),
+        comp2 AS (SELECT l1, src AS itemid, MIN(dst) AS root
+                  FROM reach2 GROUP BY 1, 2),
+        border2 AS (SELECT d.l1, d.i1 AS itemid, MIN(c.root) AS root
+                    FROM d2 d JOIN comp2 c
+                      ON d.l1 = c.l1 AND d.i2 = c.itemid
+                    WHERE d.d <= 0.7
+                      AND NOT EXISTS (SELECT 1 FROM core2 k
+                                      WHERE k.l1 = d.l1
+                                        AND k.itemid = d.i1)
+                    GROUP BY 1, 2),
+        lab2 AS (SELECT l1, itemid, root FROM comp2
+                 UNION ALL SELECT l1, itemid, root FROM border2),
+        fin AS (SELECT itemid,
+                       DENSE_RANK() OVER (ORDER BY l1, root) - 1 AS cid
+                FROM lab2)
+        SELECT CAST(i.itemid AS BIGINT) AS itemid,
+               CAST(COALESCE(f.cid, -1) AS BIGINT) AS clusterid
+        FROM items i LEFT JOIN fin f ON i.itemid = f.itemid
+    """
+    # one parquet open for the whole statement: every _EV reference in the
+    # embedded cascade/detect CTEs reads the materialized base instead of
+    # re-opening events.parquet (~30 scans would exhaust the fd limit)
+    cluster_sql = cluster_sql.replace(_EV, "evbase")
+
     suite_sql = _suite_verdicts_sql(_SEQ)
     return {
+        "ev_cluster": cluster_sql,
         "ev_detect4": f"WITH {d4_ctes} SELECT itemid FROM {d4_fin}",
         "ev_cascade": cascade_sql,
         # resume ≡ one-shot under the first-half-pinned baseline; the stream
@@ -1762,22 +1924,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, md5(text) FROM documents WHERE len(text) < 8
         """,
-        "emb_ann_topk": f"""
-            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            q AS (SELECT vec_id AS q_id, v AS qv FROM base
-                  WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),
-            s AS (SELECT q_id, vec_id,
-                         list_dot_product(v, qv) /
-                         (sqrt(list_dot_product(v, v)) *
-                          sqrt(list_dot_product(qv, qv))) AS cos_sim
-                  FROM base CROSS JOIN q WHERE vec_id <> q_id),
-            r AS (SELECT q_id, vec_id, cos_sim,
-                         ROW_NUMBER() OVER (PARTITION BY q_id
-                             ORDER BY cos_sim DESC, vec_id) AS rank
-                  FROM s)
-            SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, rank
-            FROM r WHERE rank <= 5
-        """,
+        "emb_ann_topk": _ANN_TOPK_SQL,
+        # full-probe IVF ≡ exact top-k (see _q_emb_ann_ivf): same oracle
+        "emb_ann_ivf": _ANN_TOPK_SQL,
         "emb_cosine_pairs": """
             WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT d1, d2, ROUND(cos_sim, 6) AS cos_sim FROM (
