@@ -406,11 +406,7 @@ def _q_ev_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------- training-data pipeline operators ----
 
 from pyanomalydetector_spark.operators.dedup import (  # noqa: E402
-    exact_duplicate_groups, jaccard_pairs, minhash_dedup_pairs,
-    simhash as simhash_op, simhash_pairs,
-)
-from pyanomalydetector_spark.operators.text import (  # noqa: E402
-    token_counts, quality_scores, language_id, fingerprints,
+    exact_duplicate_groups, jaccard_pairs, minhash_dedup_pairs, simhash_pairs,
 )
 from pyanomalydetector_spark.operators.similarity import (  # noqa: E402
     cosine_topk, cosine_pairs_above, ivf_topk,
@@ -471,12 +467,6 @@ def _q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("overlap", 6).alias("overlap"))
 
 
-def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprint per document (engine-portable md5 word hash)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_op(docs).select(F.col("doc_id").cast("bigint"), "simhash")
-
-
 def _q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 2) via pigeonhole banding."""
     docs = load_table(spark, sf_dir, "documents")
@@ -485,44 +475,30 @@ def _q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("int").alias("hamming"))
 
 
-def _q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return token_counts(docs).select(
-        F.col("doc_id").cast("bigint"),
-        F.col("n_words").cast("bigint").alias("n_words"),
-        F.col("n_bpe").cast("bigint").alias("n_bpe"))
-
-
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + quality features + language ID — one scan-stage pass
+    (sibling column expressions, no shuffle, no doc_id join)."""
+    from pyanomalydetector_spark.operators.text import quality_language_profile
     docs = load_table(spark, sf_dir, "documents")
-    return quality_scores(docs).select(
+    return quality_language_profile(docs).select(
         F.col("doc_id").cast("bigint"), "n_chars", "n_words",
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.round("stop_ratio", 6).alias("stop_ratio"),
         F.round("mean_word_len", 6).alias("mean_word_len"),
-        F.round("quality_score", 6).alias("quality_score"))
+        F.round("quality_score", 6).alias("quality_score"),
+        F.col("n_bpe").cast("bigint").alias("n_bpe"),
+        "lang_pred",
+        F.col("lang_score").cast("bigint").alias("lang_score"))
 
 
-def _q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint + Gopher/C4-style repetition rule (1 −
+    distinct/total 3-grams, word-level duplicate fraction) — pure array
+    expressions in one scan-stage pass."""
+    from pyanomalydetector_spark.operators.text import text_profile
     docs = load_table(spark, sf_dir, "documents")
-    return language_id(docs).select(
-        F.col("doc_id").cast("bigint"), "lang_pred", "lang_score")
-
-
-def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return fingerprints(docs, window=8).select(
-        F.col("doc_id").cast("bigint"), "fingerprint")
-
-
-def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style repetition rule: 1 − distinct/total 3-grams per doc
-    plus the word-level duplicate fraction — pure array expressions inside
-    the scan (no shuffle, no explode)."""
-    from pyanomalydetector_spark.operators.text import repetition_scores
-    docs = load_table(spark, sf_dir, "documents")
-    return repetition_scores(docs, k=3).select(
-        F.col("doc_id").cast("bigint"),
+    return text_profile(docs, window=8, k=3).select(
+        F.col("doc_id").cast("bigint"), "fingerprint",
         F.col("n_words").cast("bigint").alias("n_words"),
         F.col("n_grams").cast("bigint").alias("n_grams"),
         F.round("rep_ratio", 6).alias("rep_ratio"),
@@ -651,23 +627,6 @@ def _q_catalog_topitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend_std", 6).alias("trend_std"),
         F.col("created").cast("bigint").alias("created"),
         F.col("clusterid").cast("int").alias("clusterid"))
-
-
-def _q_seq_column_stats_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S12-analog ingest format: the same stats pass reading the sequence
-    table through the JSON-lines source (explicit schema, no inference);
-    must equal the parquet path bit-for-bit — DuckDB oracle reads the same
-    JSONL bytes via read_json."""
-    from pyanomalydetector_spark.sources.sequences import load_sequences_jsonl
-    seq = load_sequences_jsonl(spark, sf_dir)
-    out = finalize_mean_std(sufficient_stats(seq, ["source"], "n_tok"))
-    return out.select(
-        F.col("source").alias("partition_id"),
-        F.col("cnt").cast("bigint").alias("cnt"),
-        F.col("sum").cast("bigint").alias("sum_n_tok"),
-        F.round("mean", 6).alias("mean_n_tok"),
-        F.round("std", 6).alias("std_n_tok"),
-    )
 
 
 def _q_seq_column_stats_welford(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,34 +844,22 @@ def _q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_catalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7/J8: dimension chain customer⋈nation⋈region (broadcast joins)."""
-    c = load_table(spark, sf_dir, "customer")
-    n = F.broadcast(load_table(spark, sf_dir, "nation"))
-    r = F.broadcast(load_table(spark, sf_dir, "region"))
-    return (
-        c.join(n, c["c_nationkey"] == n["n_nationkey"])
-         .join(r, n["n_regionkey"] == r["r_regionkey"])
-         .groupBy("r_name", "n_name")
-         .agg(F.count(F.lit(1)).alias("n_customers"),
-              F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"))
-    )
-
-
-def _q_orders_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J10/U5: customers with no orders (left_anti)."""
+def _q_orders_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/J10/U5/U6 in one tagged frame: suppliers appearing in lineitem
+    (left_semi) ∪ customers with no orders (left_anti)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti") \
-            .select(F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_name")
-
-
-def _q_orders_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9/U6: suppliers that appear in lineitem (left_semi)."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
-    return s.join(li, s["s_suppkey"] == li["l_suppkey"], "left_semi") \
-            .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name")
+    semi = s.join(li, s["s_suppkey"] == li["l_suppkey"], "left_semi").select(
+        F.lit("semi").alias("mode"),
+        F.col("s_suppkey").cast("bigint").alias("key"),
+        F.col("s_name").alias("name"))
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        F.lit("anti").alias("mode"),
+        F.col("c_custkey").cast("bigint").alias("key"),
+        F.col("c_name").alias("name"))
+    return semi.unionByName(anti)
 
 
 def _q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -953,20 +900,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_topn": _q_ev_topn,
         "ev_conditions": _q_ev_conditions,
         "seq_column_stats_welford": _q_seq_column_stats_welford,
-        "seq_column_stats_jsonl": _q_seq_column_stats_jsonl,
         "catalog_topitems": _q_catalog_topitems,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_dedup_minhash": _q_doc_dedup_minhash,
         "doc_dup_clusters": _q_doc_dup_clusters,
         "doc_contamination": _q_doc_contamination,
-        "doc_simhash": _q_doc_simhash,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
-        "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
-        "doc_langid": _q_doc_langid,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "doc_repetition": _q_doc_repetition,
+        "doc_text_profile": _q_doc_text_profile,
         "doc_pii": _q_doc_pii,
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_cosine_pairs": _q_emb_cosine_pairs,
@@ -979,9 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_q3_shipping": _q_tpch_q3_shipping,
         "tpch_q5_local_supplier": _q_tpch_q5_local_supplier,
-        "catalog_join": _q_catalog_join,
-        "orders_anti_join": _q_orders_anti_join,
-        "orders_semi_join": _q_orders_semi_join,
+        "orders_semi_anti": _q_orders_semi_anti,
         "union_dedup": _q_union_dedup,
     }
 
@@ -1768,15 +1708,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
         """,
         # both engines read the SAME jsonl bytes
-        "seq_column_stats_jsonl": f"""
-            SELECT source AS partition_id,
-                   COUNT(*) AS cnt,
-                   CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
-                   ROUND(AVG(n_tok), 6) AS mean_n_tok,
-                   ROUND(COALESCE(STDDEV_SAMP(n_tok), 0), 6) AS std_n_tok
-            FROM read_json('{_seq_jsonl()}')
-            GROUP BY source
-        """,
         "doc_dedup_exact": f"""
             SELECT DISTINCT doc_id, canonical_id, group_cnt FROM (
                 SELECT doc_id,
@@ -1803,7 +1734,6 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(src, MIN(dst)) AS cluster_rep
             FROM reach GROUP BY src
         """,
-        "doc_simhash": _SIMHASH_SQL,
         # string shingles give identical counts to the engine's 64-bit
         # hashed shingles (collision-free at this scale)
         "doc_contamination": """
@@ -1830,16 +1760,25 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         """,
-        "doc_token_counts": """
-            SELECT doc_id,
-                   CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
-                   CAST(len(regexp_extract_all(text,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
-            FROM documents
-        """,
         "doc_quality": f"""
-            WITH b AS ({_QUALITY_BASE})
-            SELECT doc_id,
+            WITH b AS ({_QUALITY_BASE}),
+            l AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text,' '), x ->
+                           list_contains(['the','a','of','and','to','in','is'],
+                                         lower(x)))) AS sc_en,
+                       len(list_filter(string_split(text,' '), x ->
+                           list_contains(['el','la','de','y','que','los','es'],
+                                         lower(x)))) AS sc_es,
+                       len(list_filter(string_split(text,' '), x ->
+                           list_contains(['le','la','de','et','les','des','est'],
+                                         lower(x)))) AS sc_fr,
+                       CAST(len(regexp_extract_all(text,
+                            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+                           AS n_bpe
+                FROM documents
+            )
+            SELECT b.doc_id,
                    CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(n_words AS BIGINT) AS n_words,
                    ROUND(n_punct/n_chars, 6) AS punct_ratio,
@@ -1848,12 +1787,30 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(GREATEST(0, LEAST(1,
                        0.4*LEAST(n_stop/n_words*5, 1)
                      + 0.3*(1 - LEAST(n_punct/n_chars*10, 1))
-                     + 0.3*LEAST(n_words/100, 1))), 6) AS quality_score
-            FROM b
+                     + 0.3*LEAST(n_words/100, 1))), 6) AS quality_score,
+                   l.n_bpe,
+                   CASE WHEN sc_en > 0 AND sc_en >= sc_es AND sc_en >= sc_fr
+                             THEN 'en'
+                        WHEN sc_es > 0 AND sc_es > sc_en AND sc_es >= sc_fr
+                             THEN 'es'
+                        WHEN sc_fr > 0 AND sc_fr > sc_en AND sc_fr > sc_es
+                             THEN 'fr'
+                        ELSE 'und' END AS lang_pred,
+                   CAST(GREATEST(sc_en, sc_es, sc_fr) AS BIGINT) AS lang_score
+            FROM b JOIN l ON b.doc_id = l.doc_id
         """,
-        "doc_repetition": """
-            WITH t AS (SELECT doc_id, string_split(text,' ') AS w
+        "doc_text_profile": """
+            WITH t AS (SELECT doc_id, text, string_split(text,' ') AS w
                        FROM documents),
+            fp AS (
+                SELECT doc_id, MIN(md5(substr(text, i, 8))) AS fingerprint
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, len(text)-7)) AS i
+                      FROM t WHERE len(text) >= 8)
+                GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id, md5(text) FROM t WHERE len(text) < 8
+            ),
             base AS (SELECT doc_id, len(w) AS n_words,
                             GREATEST(len(w) - 2, 0) AS n_grams,
                             CASE WHEN len(w) > 0
@@ -1865,12 +1822,13 @@ def oracle_sql() -> dict[str, str]:
             d AS (SELECT doc_id,
                          COUNT(DISTINCT array_to_string(w[i:i+2],' ')) AS nd
                   FROM s GROUP BY 1)
-            SELECT b.doc_id, n_words, n_grams,
+            SELECT b.doc_id, fp.fingerprint, n_words, n_grams,
                    ROUND(CASE WHEN n_grams > 0
                               THEN 1.0 - COALESCE(nd, 0) * 1.0 / n_grams
                               ELSE 0 END, 6) AS rep_ratio,
                    ROUND(wdr, 6) AS word_dup_ratio
-            FROM base b LEFT JOIN d USING (doc_id)
+            FROM base b JOIN fp ON b.doc_id = fp.doc_id
+            LEFT JOIN d ON b.doc_id = d.doc_id
         """,
         "doc_pii": r"""
             SELECT doc_id,
@@ -1889,40 +1847,6 @@ def oracle_sql() -> dict[str, str]:
                       + len(regexp_extract_all(text,
                         '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_pii
             FROM documents
-        """,
-        "doc_langid": """
-            WITH s AS (
-                SELECT doc_id,
-                       len(list_filter(string_split(text,' '), x ->
-                           list_contains(['the','a','of','and','to','in','is'],
-                                         lower(x)))) AS sc_en,
-                       len(list_filter(string_split(text,' '), x ->
-                           list_contains(['el','la','de','y','que','los','es'],
-                                         lower(x)))) AS sc_es,
-                       len(list_filter(string_split(text,' '), x ->
-                           list_contains(['le','la','de','et','les','des','est'],
-                                         lower(x)))) AS sc_fr
-                FROM documents
-            )
-            SELECT doc_id,
-                   CASE WHEN sc_en > 0 AND sc_en >= sc_es AND sc_en >= sc_fr
-                             THEN 'en'
-                        WHEN sc_es > 0 AND sc_es > sc_en AND sc_es >= sc_fr
-                             THEN 'es'
-                        WHEN sc_fr > 0 AND sc_fr > sc_en AND sc_fr > sc_es
-                             THEN 'fr'
-                        ELSE 'und' END AS lang_pred,
-                   CAST(GREATEST(sc_en, sc_es, sc_fr) AS BIGINT) AS lang_score
-            FROM s
-        """,
-        "doc_fingerprint": """
-            SELECT doc_id, MIN(md5(substr(text, i, 8))) AS fingerprint
-            FROM (SELECT doc_id, text,
-                         unnest(generate_series(1, len(text)-7)) AS i
-                  FROM documents WHERE len(text) >= 8)
-            GROUP BY doc_id
-            UNION ALL
-            SELECT doc_id, md5(text) FROM documents WHERE len(text) < 8
         """,
         "emb_ann_topk": _ANN_TOPK_SQL,
         # full-probe IVF ≡ exact top-k (see _q_emb_ann_ivf): same oracle
@@ -1977,21 +1901,14 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
         """,
-        "catalog_join": """
-            SELECT r_name, n_name, COUNT(*) AS n_customers,
-                   ROUND(AVG(c_acctbal), 6) AS avg_acctbal
-            FROM customer
-            JOIN nation ON c_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-            GROUP BY r_name, n_name
-        """,
-        "orders_anti_join": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-        """,
-        "orders_semi_join": """
-            SELECT s_suppkey, s_name FROM supplier
+        "orders_semi_anti": """
+            SELECT 'semi' AS mode, s_suppkey AS key, s_name AS name
+            FROM supplier
             WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+            UNION ALL
+            SELECT 'anti' AS mode, c_custkey AS key, c_name AS name
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,
         "union_dedup": """
             SELECT DISTINCT custkey FROM (

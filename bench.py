@@ -42,7 +42,7 @@ HEADLINE = [
     "tpch_pricing_summary",
     "tpch_q3_shipping",
     "tpch_q5_local_supplier",
-    "catalog_join",
+    "orders_semi_anti",
     "doc_dedup_exact",
     "doc_dedup_minhash",
     "doc_simhash_pairs",
@@ -112,7 +112,13 @@ def main() -> None:
         r = run_checks(df, skew_suite)
         r.verdicts.count()
         r.violations.count()
-        return round(time.perf_counter() - t0, 4)
+        elapsed = round(time.perf_counter() - t0, 4)
+        # same per-sample isolation as the headline loop: run_checks persists
+        # the fused aggregates, and a structural cache hit on the next sample
+        # would time cached aggregates instead of the skew-handling path
+        r.unpersist()
+        spark.catalog.clearCache()
+        return elapsed
 
     run_skew(uni_path)                       # warm the scan path
     t_uni = min(run_skew(uni_path), run_skew(uni_path))

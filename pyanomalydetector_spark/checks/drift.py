@@ -14,7 +14,7 @@ to arbitrarily many input rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 PSI_SMOOTH = 0.5  # Laplace smoothing added to every bucket count
@@ -174,12 +174,25 @@ def _psi_low_cardinality(df: DataFrame, partition_col: str, value_col: str,
 
 def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
                     baseline: DataFrame | None = None,
-                    cache_registry: list | None = None) -> DataFrame:
+                    cache_registry: list | None = None,
+                    max_grid_values: int = 65536,
+                    n_fallback_bins: int = 4096) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov D per partition vs baseline.
 
     D = max over the combined support of |CDF_partition − CDF_baseline|.
     Computed on the (partition × distinct-value) grid with window cumulative
     sums — distributed, no collect. Returns ``(partition_id, ks_d)``.
+
+    **Cardinality guard**: the grid is exact (and cheap) for bounded
+    columns like token length, but a continuous double column would make
+    #distinct ≈ #rows and the grid degenerate. If the distinct-value count
+    of the (cached) counts frame exceeds ``max_grid_values``, values are
+    re-binned into ``n_fallback_bins`` fixed-width bins over [min, max]
+    *from the cached counts* (no raw re-scan) and KS-D is computed on the
+    binned distributions — the standard histogram approximation, whose
+    error is bounded by the largest per-bin probability mass. The guard
+    decision costs one countDistinct over the already-persisted counts
+    frame, never a second pass over the raw input.
 
     ``cache_registry``: persisted intermediates are appended here so a
     long-lived caller can unpersist them after materializing the result.
@@ -193,6 +206,30 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
     if cache_registry is not None:
         cache_registry.append(part_counts)
 
+    ndv = part_counts.select("v").distinct().count()
+    bin_lo = bin_width = None
+    if ndv > max_grid_values:
+        row = part_counts.agg(F.min("v").alias("lo"),
+                              F.max("v").alias("hi")).first()
+        lo, hi = row["lo"], row["hi"]
+        if lo is not None and hi > lo:
+            bin_lo, bin_width = lo, (hi - lo) / n_fallback_bins
+
+    def _binned(col: Column) -> Column:
+        b = F.least(F.floor((col - F.lit(bin_lo)) / F.lit(bin_width)),
+                    F.lit(n_fallback_bins - 1))
+        # clamp below lo too (baseline values can fall outside df's range)
+        b = F.greatest(b, F.lit(0))
+        return (b * bin_width + bin_lo).cast("double")
+
+    if bin_lo is not None:
+        part_counts = (
+            part_counts
+            .withColumn("v", _binned(F.col("v")))
+            .groupBy("partition_id", "v")
+            .agg(F.sum("c_p").alias("c_p"))
+        )
+
     if baseline is None:
         # self-baseline: the partition/value universe AND the baseline counts
         # are all derivable from the one part_counts shuffle — no raw
@@ -201,10 +238,12 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
         parts = part_counts.select("partition_id").distinct()
         base_counts = part_counts.groupBy("v").agg(F.sum("c_p").alias("c_b"))
     else:
-        base = baseline
-        values = base.select(v).union(part_counts.select("v")).distinct()
+        base_v = baseline.select(v)
+        if bin_lo is not None:
+            base_v = base_v.select(_binned(F.col("v")).alias("v"))
+        values = base_v.union(part_counts.select("v")).distinct()
         parts = part_counts.select("partition_id").distinct()
-        base_counts = base.select(v).groupBy("v").agg(F.count(F.lit(1)).alias("c_b"))
+        base_counts = base_v.groupBy("v").agg(F.count(F.lit(1)).alias("c_b"))
     grid = parts.crossJoin(values)
 
     joined = (

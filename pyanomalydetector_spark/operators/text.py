@@ -37,26 +37,22 @@ def _words(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
-def token_counts(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, n_words, n_bpe): whitespace tokens and BPE-ish regex tokens."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+def _token_count_exprs(text_col: str) -> list[Column]:
+    return [
         F.size(_words(text_col)).alias("n_words"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0))
          .alias("n_bpe"),
-    )
+    ]
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
-    """Per-doc quality features + composite score in [0, 1].
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, n_bpe): whitespace tokens and BPE-ish regex tokens."""
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       *_token_count_exprs(text_col))
 
-    punct_ratio: non-[alnum/space] chars / chars; stop_ratio: stopword tokens
-    / tokens; mean_word_len: Σ|w| / #w. Score rewards stopword presence and
-    length, penalizes punctuation soup — a standard cheap pre-filter shape
-    (what matters is the exact, portable arithmetic, pinned by the oracle).
-    """
+
+def _quality_exprs(text_col: str) -> list[Column]:
     w = _words(text_col)
     n_chars = F.length(F.col(text_col)).cast("double")
     n_words = F.size(w).cast("double")
@@ -74,26 +70,30 @@ def quality_scores(docs: DataFrame, text_col: str = "text",
         F.lit(0.4) * F.least(stop_ratio * 5, F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
         + F.lit(0.3) * F.least(n_words / 100, F.lit(1.0))))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return [
         n_chars.cast("long").alias("n_chars"),
         n_words.cast("long").alias("n_words"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),
         mean_word_len.alias("mean_word_len"),
         score.alias("quality_score"),
-    )
+    ]
 
 
-def language_id(docs: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, lang_pred, lang_score): marker-stopword vote per language.
+def quality_scores(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features + composite score in [0, 1].
 
-    Score = #tokens in the language's marker set (with multiplicity).
-    Prediction = highest score; ties resolve in LANG_MARKERS order; all-zero
-    → 'und'. One pass, no explode — per-language conditional counts via
-    higher-order filter.
+    punct_ratio: non-[alnum/space] chars / chars; stop_ratio: stopword tokens
+    / tokens; mean_word_len: Σ|w| / #w. Score rewards stopword presence and
+    length, penalizes punctuation soup — a standard cheap pre-filter shape
+    (what matters is the exact, portable arithmetic, pinned by the oracle).
     """
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       *_quality_exprs(text_col))
+
+
+def _langid_exprs(text_col: str) -> list[Column]:
     w = _words(text_col)
 
     def marker_count(markers: list[str]) -> Column:
@@ -114,13 +114,45 @@ def language_id(docs: DataFrame, text_col: str = "text",
                 else (scores[lang] > scores[other])
             cond = cond & op
         best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
-    lang_pred = best.otherwise(F.lit("und"))
-    lang_score = F.greatest(*scores.values())
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        lang_pred.alias("lang_pred"),
-        lang_score.cast("long").alias("lang_score"),
-    )
+    return [
+        best.otherwise(F.lit("und")).alias("lang_pred"),
+        F.greatest(*scores.values()).cast("long").alias("lang_score"),
+    ]
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang_pred, lang_score): marker-stopword vote per language.
+
+    Score = #tokens in the language's marker set (with multiplicity).
+    Prediction = highest score; ties resolve in LANG_MARKERS order; all-zero
+    → 'und'. One pass, no explode — per-language conditional counts via
+    higher-order filter.
+    """
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       *_langid_exprs(text_col))
+
+
+def quality_language_profile(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Token counts + quality features + language ID in ONE scan-stage
+    select: composing the per-doc operators as sibling column expressions
+    costs a single pass over the text column with no shuffle, where joining
+    their individual frames would shuffle each on doc_id."""
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       *_quality_exprs(text_col),
+                       F.size(F.regexp_extract_all(
+                           F.col(text_col), F.lit(BPE_ISH), 0)).alias("n_bpe"),
+                       *_langid_exprs(text_col))
+
+
+def _fingerprint_expr(window: int, text_col: str) -> Column:
+    t = F.col(text_col)
+    n = F.length(t)
+    mins = F.array_min(F.transform(
+        F.sequence(F.lit(1), n - (window - 1)),
+        lambda i: F.md5(t.substr(i, F.lit(window)))))
+    return F.when(n >= window, mins).otherwise(F.md5(t)).alias("fingerprint")
 
 
 def fingerprints(docs: DataFrame, window: int = 8, text_col: str = "text",
@@ -131,13 +163,8 @@ def fingerprints(docs: DataFrame, window: int = 8, text_col: str = "text",
     outside the minimizing window; md5-hex min is engine-portable (string
     order). Docs shorter than ``window`` hash whole-text.
     """
-    t = F.col(text_col)
-    n = F.length(t)
-    mins = F.array_min(F.transform(
-        F.sequence(F.lit(1), n - (window - 1)),
-        lambda i: F.md5(t.substr(i, F.lit(window)))))
-    fp = F.when(n >= window, mins).otherwise(F.md5(t))
-    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       _fingerprint_expr(window, text_col))
 
 
 def top_tokens(seq: DataFrame, k: int = 5,
@@ -165,14 +192,7 @@ def top_tokens(seq: DataFrame, k: int = 5,
                  .filter(F.col("rank") <= k)
 
 
-def repetition_scores(docs: DataFrame, k: int = 3,
-                      text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
-    """Within-document repetition (the Gopher/C4-style quality rule:
-    heavily repeated n-grams signal boilerplate/spam): ``rep_ratio`` =
-    1 − distinct-k-grams / total-k-grams, plus the word-level duplicate
-    fraction. Pure array expressions — computed inside the scan, no
-    shuffle, no explode."""
+def _repetition_exprs(k: int, text_col: str) -> list[Column]:
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     grams = F.transform(
@@ -186,11 +206,30 @@ def repetition_scores(docs: DataFrame, k: int = 3,
     word_dup = F.when(n > 0,
                       1.0 - F.try_divide(F.size(F.array_distinct(words)), n)) \
                 .otherwise(F.lit(0.0))
+    return [n.alias("n_words"), n_grams.alias("n_grams"),
+            rep.alias("rep_ratio"), word_dup.alias("word_dup_ratio")]
+
+
+def repetition_scores(docs: DataFrame, k: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition (the Gopher/C4-style quality rule:
+    heavily repeated n-grams signal boilerplate/spam): ``rep_ratio`` =
+    1 − distinct-k-grams / total-k-grams, plus the word-level duplicate
+    fraction. Pure array expressions — computed inside the scan, no
+    shuffle, no explode."""
     return docs.select(F.col(id_col).alias("doc_id"),
-                       n.alias("n_words"),
-                       n_grams.alias("n_grams"),
-                       rep.alias("rep_ratio"),
-                       word_dup.alias("word_dup_ratio"))
+                       *_repetition_exprs(k, text_col))
+
+
+def text_profile(docs: DataFrame, window: int = 8, k: int = 3,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint + repetition scores in ONE scan-stage select
+    (single pass, no shuffle — sibling expressions, not a doc_id join)."""
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       _fingerprint_expr(window, text_col),
+                       *_repetition_exprs(k, text_col))
 
 
 PII_PATTERNS = {

@@ -144,6 +144,6 @@ def synthesize_sequences_jsonl(sf_dir: str, force: bool = False) -> str:
 def load_sequences_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence table through the JSON-lines source with an EXPLICIT schema
     (never schema inference — one pass saved, stable types). Must be
-    row-identical to the parquet path (oracle-checked by
-    ``seq_column_stats_jsonl``)."""
+    row-identical to the parquet path (pinned by
+    tests/test_checks.py::test_jsonl_source_equals_parquet_source)."""
     return spark.read.schema(SEQ_SCHEMA).json(synthesize_sequences_jsonl(sf_dir))

@@ -142,17 +142,28 @@ def streaming_tumbling_rollup(stream: DataFrame, interval_secs: int,
 
 
 def stateful_running_stats(stream: DataFrame, id_col: str = "itemid",
-                           value_col: str = "value") -> DataFrame:
+                           value_col: str = "value",
+                           idle_timeout_ms: int | None = None) -> DataFrame:
     """Per-key running mean/std as a TRUE arbitrary-stateful streaming
     operator: ``applyInPandasWithState`` keeps the mergeable sufficient
     statistics ``(cnt, Σx, Σx²)`` as engine-managed GroupState — the
     custom-stateful realization of the reference's running history stats
     (T2, data_processing/stats.py:88-124), instead of the foreachBatch+
-    parquet emulation above. State is O(keys), emitted rows carry the
-    finalized Bessel mean/std (the same scrub + Bessel semantics as
-    functions/stats.py, so streaming ≡ batch recompute —
-    tests/test_streaming.py pins it). Output mode: Update (one refreshed
-    row per key per micro-batch)."""
+    parquet emulation above. Emitted rows carry the finalized Bessel
+    mean/std (the same scrub + Bessel semantics as functions/stats.py, so
+    streaming ≡ batch recompute — tests/test_streaming.py pins it).
+    Output mode: Update (one refreshed row per key per micro-batch).
+
+    **State-size posture at high key cardinality**: per-key state is three
+    scalars (one 24-byte row) regardless of how many rows a key has seen —
+    total state is O(#distinct keys), never O(rows). For unbounded key
+    universes (e.g. per-doc-shard sources that complete and never return),
+    pass ``idle_timeout_ms`` (e.g. 30 min = 1_800_000): keys idle longer than
+    that are EVICTED via ProcessingTimeTimeout — the state store stays
+    bounded by the working set of active keys, the reference's retention
+    rule (T7) applied to streaming state. A re-appearing evicted key
+    restarts its statistics from zero (tests/test_streaming.py pins the
+    eviction)."""
     import math
 
     import numpy as np
@@ -162,8 +173,13 @@ def stateful_running_stats(stream: DataFrame, id_col: str = "itemid",
     id_type = stream.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, cnt long, mean double, std double"
     state_schema = "cnt long, s double, q double"
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if idle_timeout_ms else GroupStateTimeout.NoTimeout)
 
     def update(key, pdfs, state):
+        if idle_timeout_ms and state.hasTimedOut:
+            state.remove()                 # evict idle key: O(keys) bound
+            return
         cnt, s, q = state.get if state.exists else (0, 0.0, 0.0)
         for pdf in pdfs:
             v = pdf[value_col].astype(float).to_numpy()
@@ -172,6 +188,8 @@ def stateful_running_stats(stream: DataFrame, id_col: str = "itemid",
             s += float(v.sum())
             q += float((v * v).sum())
         state.update((cnt, s, q))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(int(idle_timeout_ms))
         if cnt == 0:
             return
         mean = s / cnt
@@ -180,5 +198,4 @@ def stateful_running_stats(stream: DataFrame, id_col: str = "itemid",
                             "std": [math.sqrt(max(var, 0.0))]})
 
     return stream.groupBy(id_col).applyInPandasWithState(
-        update, out_schema, state_schema, "Update",
-        GroupStateTimeout.NoTimeout)
+        update, out_schema, state_schema, "Update", timeout_conf)

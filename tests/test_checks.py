@@ -144,6 +144,31 @@ def test_psi_low_cardinality_route_equals_two_pass(spark, seq):
         assert a[k] == pytest.approx(b[k], abs=1e-12), k
 
 
+def test_ks_cardinality_guard_bins_continuous_columns(spark, seq):
+    """Pointing KS at a continuous double column must not build a
+    #distinct ≈ #rows grid: above max_grid_values the values re-bin into
+    fixed-width bins derived from the cached counts (no raw re-scan), and
+    the binned statistic stays close to the exact one (histogram
+    approximation, error bounded by per-bin mass)."""
+    from pyanomalydetector_spark.checks.drift import ks_by_partition
+    # deterministic "continuous" column: n_tok + hash-derived fraction →
+    # essentially every row a distinct double
+    cont = seq.withColumn(
+        "x", F.col("n_tok")
+             + F.pmod(F.xxhash64("doc_id"), F.lit(100_000)) / 100_000.0)
+    exact = {r["partition_id"]: r["ks_d"]
+             for r in ks_by_partition(cont, "source", "x").collect()}
+    binned = {r["partition_id"]: r["ks_d"]
+              for r in ks_by_partition(cont, "source", "x",
+                                       max_grid_values=50,
+                                       n_fallback_bins=256).collect()}
+    assert exact.keys() == binned.keys()
+    for k in exact:
+        assert 0.0 <= binned[k] <= 1.0
+        # 256 bins over this range keep the histogram close to exact
+        assert abs(exact[k] - binned[k]) < 0.1, k
+
+
 def test_results_invariant_under_shuffle_partitioning(spark, seq):
     """Distributed-correctness property: verdicts must be identical at any
     shuffle-partition count (hash/order-sensitivity bugs surface here)."""

@@ -154,3 +154,52 @@ def test_applyinpandaswithstate_running_stats(spark, tmp_path):
         assert g["cnt"] == e["cnt"]
         assert round(g["mean"], 9) == round(e["mean"], 9)
         assert round(g["std"], 9) == round(e["std"], 9)
+
+
+def test_stateful_idle_timeout_evicts_and_restarts(spark, tmp_path):
+    """State-size posture at high key cardinality: with ``idle_timeout_ms``
+    set, a key idle past the timeout is EVICTED (ProcessingTimeTimeout) —
+    when it re-appears its statistics restart from zero instead of
+    resuming, proving the state store is bounded by the active working
+    set, not the historical key universe."""
+    import time
+
+    from pyanomalydetector_spark.streaming.incremental import (
+        stateful_running_stats,
+    )
+    inp = str(tmp_path / "in")
+    schema = "itemid long, clock long, value double"
+
+    captured = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        out = stateful_running_stats(stream, idle_timeout_ms=1000)
+        q = (out.writeStream
+                .foreachBatch(lambda df, bid: captured.extend(df.collect()))
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    # batch 1: key 1 sees 3 rows
+    spark.createDataFrame([(1, c, float(c)) for c in range(3)], schema) \
+         .coalesce(1).write.mode("append").parquet(inp)
+    drain()
+    assert [r["cnt"] for r in captured if r["itemid"] == 1] == [3]
+
+    # let key 1 go idle past the timeout, tick the clock with another key
+    # (timeouts fire during a subsequent micro-batch)
+    time.sleep(2.5)
+    spark.createDataFrame([(2, 0, 1.0)], schema) \
+         .coalesce(1).write.mode("append").parquet(inp)
+    drain()
+
+    # key 1 re-appears with 2 rows: an evicted key restarts at cnt=2
+    # (NoTimeout semantics would resume at 5)
+    time.sleep(0.1)
+    spark.createDataFrame([(1, 10 + c, float(c)) for c in range(2)], schema) \
+         .coalesce(1).write.mode("append").parquet(inp)
+    drain()
+    cnts = [r["cnt"] for r in captured if r["itemid"] == 1]
+    assert cnts == [3, 2], cnts

@@ -28,7 +28,7 @@ AUDIT = [
     "ev_rollup", "jdbc_rollup", "ev_detect1", "ev_detect3_counts",
     "ev_grid_resample", "ev_topn",
     "tpch_pricing_summary", "tpch_q3_shipping", "tpch_q5_local_supplier",
-    "catalog_join", "orders_semi_join",
+    "orders_semi_anti",
     "doc_dedup_exact", "doc_dedup_minhash", "doc_simhash_pairs",
     "doc_quality", "emb_ann_topk", "emb_cosine_pairs",
 ]
