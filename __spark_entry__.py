@@ -1192,126 +1192,7 @@ def _suite_verdicts_sql(seq: str) -> str:
     """
 
 
-# exact cosine top-k per query id (shared by emb_ann_topk and the
-# full-probe emb_ann_ivf invariant)
-_ANN_TOPK_SQL = f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM base
-          WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),
-    s AS (SELECT q_id, vec_id,
-                 list_dot_product(v, qv) /
-                 (sqrt(list_dot_product(v, v)) *
-                  sqrt(list_dot_product(qv, qv))) AS cos_sim
-          FROM base CROSS JOIN q WHERE vec_id <> q_id),
-    r AS (SELECT q_id, vec_id, cos_sim,
-                 ROW_NUMBER() OVER (PARTITION BY q_id
-                     ORDER BY cos_sim DESC, vec_id) AS rank
-          FROM s)
-    SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, rank
-    FROM r WHERE rank <= 5
-"""
-
-
-# word-3-gram Jaccard brute force (shared by the brute and MinHash queries —
-# the LSH path is exact-verified, so the same oracle applies)
-_JACCARD_SQL = """
-    WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-    s AS (SELECT doc_id, unnest(generate_series(1, len(w)-2)) AS i, w FROM t),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS sh FROM s),
-    n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-          FROM sh a JOIN sh b ON a.sh=b.sh AND a.doc_id<b.doc_id GROUP BY 1,2)
-    SELECT p.d1, p.d2, ROUND(inter*1.0/(na.n+nb.n-inter), 6) AS jaccard
-    FROM p JOIN n na ON p.d1=na.doc_id JOIN n nb ON p.d2=nb.doc_id
-    WHERE inter*1.0/(na.n+nb.n-inter) >= 0.8
-"""
-
-_SIMHASH_SUMS = ", ".join(
-    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
-    for b in range(32))
-_SIMHASH_FP = " + ".join(
-    f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
-    for b in range(32))
-_SIMHASH_SQL = f"""
-    WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-    h AS (SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS h FROM w),
-    s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
-    SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM s
-"""
-
-_QUALITY_BASE = """
-    SELECT doc_id,
-           CAST(len(text) AS DOUBLE) AS n_chars,
-           CAST(len(string_split(text,' ')) AS DOUBLE) AS n_words,
-           CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
-                AS DOUBLE) AS n_punct,
-           CAST(len(list_filter(string_split(text,' '),
-                x -> list_contains(['a','an','and','in','of','the','to'],
-                                   lower(x)))) AS DOUBLE) AS n_stop,
-           CAST(list_sum(list_transform(string_split(text,' '),
-                x -> len(x))) AS DOUBLE) AS swl
-    FROM documents
-"""
-
-
-def oracle_sql() -> dict[str, str]:
-    from pyanomalydetector_spark.plans.pipeline import _grid_counts
-    _SEQ = _seq_sql()
-    hist_count = (ENDEP - ENDEP % 3600 - (_T_START - _T_START % 3600)) // 3600 + 1
-    grid_lo = _H_START - _H_START % 3600
-    grid_hi = ENDEP - ENDEP % 3600
-
-    # detect3/4 grid denominators and the stagewise cascade composition
-    dens_win = _CFG.history_interval * _CFG.history_retention
-    hc3, hc3_2 = _grid_counts(_T_START, ENDEP, _STARTEP2, _CFG.history_interval)
-    hc4, hc4_2 = _grid_counts(_T4_START, ENDEP, _STARTEP2, _CFG.history_interval)
-
-    d4_ctes, d4_fin = _detect3_ctes("d4_", _TR4, _HIST, 1.5, 1.0, 0.001,
-                                    hc4, hc4_2, _STARTEP2, dens_win)
-    c1_ctes, c1_fin = _detect1_ctes("c1_", _TR, _HIST, 1.0, 3, 0.01)
-    c2_ctes, c2_fin = _detect2_ctes("c2_", _TR, _HIST, 1.0, 0.01)
-    c3_ctes, c3_fin = _detect3_ctes("c3_", _TR, _HIST, 1.5, 1.0, 0.001,
-                                    hc3, hc3_2, _STARTEP2, dens_win)
-    c4_ctes, c4_fin = _detect3_ctes("c4_", _TR4, _HIST, 1.5, 1.0, 0.001,
-                                    hc4, hc4_2, _STARTEP2, dens_win)
-    # each stage's per-item predicate is independent of which other items are
-    # present, so "stage over previous survivors" ≡ "stage over all items ∩
-    # previous survivors" — the cascade oracle is a chain of INTERSECTs.
-    cascade_sql = f"""
-        WITH {c1_ctes}, {c2_ctes}, {c3_ctes}, {c4_ctes},
-        s1 AS (SELECT itemid FROM {c1_fin}),
-        s2 AS (SELECT itemid FROM {c2_fin} INTERSECT SELECT itemid FROM s1),
-        s3 AS (SELECT itemid FROM {c3_fin} INTERSECT SELECT itemid FROM s2)
-        SELECT itemid FROM {c4_fin} INTERSECT SELECT itemid FROM s3
-    """
-
-    # --- ev_cluster: two-stage DBSCAN as recursive-CTE density connectivity.
-    # Mirrors operators/cluster.py exactly: survivors = the cascade oracle;
-    # dense (item × clock-union) grid with missing→0; stage 1 = DBSCAN
-    # (eps=0.9, min_samples=2) on Jaccard distance of |z|>2 indicators;
-    # stage 2 = DBSCAN (eps=0.7) on blended correlation distance
-    # ½(1−|corr(x)|)+½(1−|corr(Δx)|) (NaN→per-cluster max finite) within
-    # each stage-1 cluster of ≥2 members. The numpy sweep visits points in
-    # ascending id order, so cluster creation order = ascending min core id:
-    # components get DENSE_RANK by min-core-root and borders attach to the
-    # minimum-rank adjacent cluster — label-exact, not just partition-exact.
-    cluster_sql = f"""
-        WITH RECURSIVE evbase AS MATERIALIZED
-            (SELECT user_id AS itemid,
-                    CAST(FLOOR(epoch(ts)) AS BIGINT) AS clock,
-                    CAST(value AS DOUBLE) AS value FROM events),
-        {c1_ctes}, {c2_ctes}, {c3_ctes}, {c4_ctes},
-        s1 AS (SELECT DISTINCT itemid FROM {c1_fin}),
-        s2 AS (SELECT DISTINCT itemid FROM {c2_fin}
-               WHERE itemid IN (SELECT itemid FROM s1)),
-        s3 AS (SELECT DISTINCT itemid FROM {c3_fin}
-               WHERE itemid IN (SELECT itemid FROM s2)),
-        surv AS MATERIALIZED (SELECT DISTINCT itemid FROM {c4_fin}
-                 WHERE itemid IN (SELECT itemid FROM s3)),
-        ev AS MATERIALIZED (SELECT itemid, clock, MAX(value) AS v
-               FROM {_HIST} h
-               WHERE itemid IN (SELECT itemid FROM surv)
-               GROUP BY itemid, clock),
+_CLUSTER_DBSCAN_TAIL = """
         items AS MATERIALIZED (SELECT DISTINCT itemid FROM ev),
         clocks AS MATERIALIZED (SELECT DISTINCT clock FROM ev),
         grid AS MATERIALIZED (SELECT i.itemid, c.clock, COALESCE(e.v, 0) AS v
@@ -1415,6 +1296,136 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(i.itemid AS BIGINT) AS itemid,
                CAST(COALESCE(f.cid, -1) AS BIGINT) AS clusterid
         FROM items i LEFT JOIN fin f ON i.itemid = f.itemid
+"""
+
+
+# exact cosine top-k per query id (shared by emb_ann_topk and the
+# full-probe emb_ann_ivf invariant)
+_ANN_TOPK_SQL = f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM base
+          WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),
+    s AS (SELECT q_id, vec_id,
+                 list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) *
+                  sqrt(list_dot_product(qv, qv))) AS cos_sim
+          FROM base CROSS JOIN q WHERE vec_id <> q_id),
+    r AS (SELECT q_id, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM s)
+    SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, rank
+    FROM r WHERE rank <= 5
+"""
+
+
+# word-3-gram Jaccard brute force (shared by the brute and MinHash queries —
+# the LSH path is exact-verified, so the same oracle applies)
+_JACCARD_SQL = """
+    WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    s AS (SELECT doc_id, unnest(generate_series(1, len(w)-2)) AS i, w FROM t),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS sh FROM s),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh=b.sh AND a.doc_id<b.doc_id GROUP BY 1,2)
+    SELECT p.d1, p.d2, ROUND(inter*1.0/(na.n+nb.n-inter), 6) AS jaccard
+    FROM p JOIN n na ON p.d1=na.doc_id JOIN n nb ON p.d2=nb.doc_id
+    WHERE inter*1.0/(na.n+nb.n-inter) >= 0.8
+"""
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(32))
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(32))
+_SIMHASH_SQL = f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+    h AS (SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS h FROM w),
+    s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM s
+"""
+
+_QUALITY_BASE = """
+    SELECT doc_id,
+           CAST(len(text) AS DOUBLE) AS n_chars,
+           CAST(len(string_split(text,' ')) AS DOUBLE) AS n_words,
+           CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                AS DOUBLE) AS n_punct,
+           CAST(len(list_filter(string_split(text,' '),
+                x -> list_contains(['a','an','and','in','of','the','to'],
+                                   lower(x)))) AS DOUBLE) AS n_stop,
+           CAST(list_sum(list_transform(string_split(text,' '),
+                x -> len(x))) AS DOUBLE) AS swl
+    FROM documents
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    from pyanomalydetector_spark.plans.pipeline import _grid_counts
+    _SEQ = _seq_sql()
+    hist_count = (ENDEP - ENDEP % 3600 - (_T_START - _T_START % 3600)) // 3600 + 1
+    grid_lo = _H_START - _H_START % 3600
+    grid_hi = ENDEP - ENDEP % 3600
+
+    # detect3/4 grid denominators and the stagewise cascade composition
+    dens_win = _CFG.history_interval * _CFG.history_retention
+    hc3, hc3_2 = _grid_counts(_T_START, ENDEP, _STARTEP2, _CFG.history_interval)
+    hc4, hc4_2 = _grid_counts(_T4_START, ENDEP, _STARTEP2, _CFG.history_interval)
+
+    d4_ctes, d4_fin = _detect3_ctes("d4_", _TR4, _HIST, 1.5, 1.0, 0.001,
+                                    hc4, hc4_2, _STARTEP2, dens_win)
+    c1_ctes, c1_fin = _detect1_ctes("c1_", _TR, _HIST, 1.0, 3, 0.01)
+    c2_ctes, c2_fin = _detect2_ctes("c2_", _TR, _HIST, 1.0, 0.01)
+    c3_ctes, c3_fin = _detect3_ctes("c3_", _TR, _HIST, 1.5, 1.0, 0.001,
+                                    hc3, hc3_2, _STARTEP2, dens_win)
+    c4_ctes, c4_fin = _detect3_ctes("c4_", _TR4, _HIST, 1.5, 1.0, 0.001,
+                                    hc4, hc4_2, _STARTEP2, dens_win)
+    # each stage's per-item predicate is independent of which other items are
+    # present, so "stage over previous survivors" ≡ "stage over all items ∩
+    # previous survivors" — the cascade oracle is a chain of INTERSECTs.
+    cascade_sql = f"""
+        WITH {c1_ctes}, {c2_ctes}, {c3_ctes}, {c4_ctes},
+        s1 AS (SELECT itemid FROM {c1_fin}),
+        s2 AS (SELECT itemid FROM {c2_fin} INTERSECT SELECT itemid FROM s1),
+        s3 AS (SELECT itemid FROM {c3_fin} INTERSECT SELECT itemid FROM s2)
+        SELECT itemid FROM {c4_fin} INTERSECT SELECT itemid FROM s3
+    """
+
+    # --- ev_cluster: two-stage DBSCAN as recursive-CTE density connectivity.
+    # Mirrors operators/cluster.py exactly: survivors = the cascade oracle;
+    # dense (item × clock-union) grid with missing→0; stage 1 = DBSCAN
+    # (eps=0.9, min_samples=2) on Jaccard distance of |z|>2 indicators;
+    # stage 2 = DBSCAN (eps=0.7) on blended correlation distance
+    # ½(1−|corr(x)|)+½(1−|corr(Δx)|) (NaN→per-cluster max finite) within
+    # each stage-1 cluster of ≥2 members. The numpy sweep visits points in
+    # ascending id order, so cluster creation order = ascending min core id:
+    # components get DENSE_RANK by min-core-root and borders attach to the
+    # minimum-rank adjacent cluster — label-exact, not just partition-exact.
+    # The DBSCAN portion (everything downstream of the ``ev`` raw-series
+    # CTE) is a module-level template so tests can drive it with arbitrary
+    # synthetic series and cross-check the SQL labeling against the numpy
+    # sweep (tests/test_cluster_report.py) — the label-order equivalence
+    # argument (creation order = ascending min core id) is pinned by data,
+    # not just reasoning.
+    cluster_sql = f"""
+        WITH RECURSIVE evbase AS MATERIALIZED
+            (SELECT user_id AS itemid,
+                    CAST(FLOOR(epoch(ts)) AS BIGINT) AS clock,
+                    CAST(value AS DOUBLE) AS value FROM events),
+        {c1_ctes}, {c2_ctes}, {c3_ctes}, {c4_ctes},
+        s1 AS (SELECT DISTINCT itemid FROM {c1_fin}),
+        s2 AS (SELECT DISTINCT itemid FROM {c2_fin}
+               WHERE itemid IN (SELECT itemid FROM s1)),
+        s3 AS (SELECT DISTINCT itemid FROM {c3_fin}
+               WHERE itemid IN (SELECT itemid FROM s2)),
+        surv AS MATERIALIZED (SELECT DISTINCT itemid FROM {c4_fin}
+                 WHERE itemid IN (SELECT itemid FROM s3)),
+        ev AS MATERIALIZED (SELECT itemid, clock, MAX(value) AS v
+               FROM {_HIST} h
+               WHERE itemid IN (SELECT itemid FROM surv)
+               GROUP BY itemid, clock),
+{_CLUSTER_DBSCAN_TAIL}
     """
     # one parquet open for the whole statement: every _EV reference in the
     # embedded cascade/detect CTEs reads the materialized base instead of

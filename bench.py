@@ -64,34 +64,48 @@ def main() -> None:
     # warm the JVM/session with a trivial action so q1 doesn't pay startup
     spark.range(1000).count()
 
+    def isolate():
+        """Per-sample isolation: clear the structural cache AND unpersist
+        every persistent RDD — localCheckpoint() storage (cascade stage
+        boundaries) is NOT released by clearCache, and letting it
+        accumulate across repeated samples both skews timings and OOMs
+        the driver heap after a few cascades."""
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jmap.entrySet().iterator()
+        while it.hasNext():
+            it.next().getValue().unpersist(False)
+
+    N_SAMPLES = 2   # min-of-N: this host's capacity fluctuates (BASELINE.md)
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     n_seq = None
 
     for name in HEADLINE:
-        if name == "check_suite":
-            seq = load_sequences(spark, SF_DIR)
-            allowed = e._allowed_sources(seq)
-            t0 = time.perf_counter()
-            res = run_checks(seq, default_suite(allowed))
-            n_v = res.verdicts.count()
-            n_viol = res.violations.count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-            rows[name] = n_v + n_viol
-            n_seq = seq.count()
-            res.unpersist()
-            spark.catalog.clearCache()
-            continue
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        rows[name] = fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # per-query isolation: operators that persist intermediates
-        # (minhash shingles, drift count grids) must not leave cache for —
-        # or borrow cache from — other queries' timings
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(N_SAMPLES):
+            if name == "check_suite":
+                seq = load_sequences(spark, SF_DIR)
+                allowed = e._allowed_sources(seq)
+                t0 = time.perf_counter()
+                res = run_checks(seq, default_suite(allowed))
+                n_v = res.verdicts.count()
+                n_viol = res.violations.count()
+                samples.append(round(time.perf_counter() - t0, 4))
+                rows[name] = n_v + n_viol
+                n_seq = seq.count()
+                res.unpersist()
+            else:
+                fn = qs.get(name)
+                if fn is None:
+                    break
+                t0 = time.perf_counter()
+                rows[name] = fn(spark, SF_DIR).count()
+                samples.append(round(time.perf_counter() - t0, 4))
+            isolate()
+        if samples:
+            timings[name] = min(samples)
 
     # skew stress extras (not in the headline total): uniqueness+referential
     # on the hot-partition/hot-key fixture vs its uniform twin — the ratio is
@@ -117,7 +131,7 @@ def main() -> None:
         # the fused aggregates, and a structural cache hit on the next sample
         # would time cached aggregates instead of the skew-handling path
         r.unpersist()
-        spark.catalog.clearCache()
+        isolate()
         return elapsed
 
     run_skew(uni_path)                       # warm the scan path
@@ -139,6 +153,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "rows": rows,
+        "samples_per_query": N_SAMPLES,
     }
     out["skew"] = skew_extras
     if n_seq and timings.get("check_suite"):

@@ -130,3 +130,55 @@ def test_report_json_shape(spark, sf_dir, tmp_path):
     import json as _json
     with open(p) as f:
         assert _json.load(f) == rep
+
+
+def test_cluster_oracle_sql_matches_numpy_two_stage():
+    """The ev_cluster oracle's recursive-CTE DBSCAN must reproduce the numpy
+    index-order sweep LABEL-EXACTLY on richer fixtures than the driver's
+    3-survivor set — clustered groups, correlated/anti-correlated pairs,
+    noise items, and border candidates. Pins the label-order equivalence
+    (cluster creation order = ascending min core id; borders attach to the
+    earliest-created adjacent cluster) by data."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    for seed in (7, 19, 42, 101):
+        rng = np.random.default_rng(seed)
+        n_groups = int(rng.integers(2, 4))
+        n_per = int(rng.integers(2, 4))
+        n_noise = int(rng.integers(1, 3))
+        n_clocks = 24
+        series, ids = [], []
+        base_t = np.arange(n_clocks, dtype=float)
+        iid = 100
+        for g in range(n_groups):
+            # shared spiky pattern per group -> high correlation + shared
+            # anomaly indicators; small per-item jitter
+            pattern = np.sin(base_t / (g + 2)) * 3 + (base_t % (g + 3))
+            spikes = rng.choice(n_clocks, size=3, replace=False)
+            pattern[spikes] += 25
+            for _ in range(n_per):
+                s = pattern + rng.normal(0, 0.15, n_clocks)
+                series.append(s); ids.append(iid); iid += 1
+        for _ in range(n_noise):
+            series.append(rng.normal(0, 1, n_clocks)); ids.append(iid); iid += 1
+        x = np.array(series)
+
+        labels_np = two_stage_cluster(ids, x, x, sigma=2.0, eps1=0.9,
+                                      eps2=0.7, min_samples=2)
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ev_tbl (itemid BIGINT, clock BIGINT, "
+                    "v DOUBLE)")
+        rows = [(int(i), int(c), float(x[k, c]))
+                for k, i in enumerate(ids) for c in range(n_clocks)]
+        con.executemany("INSERT INTO ev_tbl VALUES (?, ?, ?)", rows)
+        sql = ("WITH RECURSIVE ev AS MATERIALIZED "
+               "(SELECT itemid, clock, v FROM ev_tbl),\n"
+               + entry._CLUSTER_DBSCAN_TAIL)
+        got = {int(r[0]): int(r[1]) for r in con.execute(sql).fetchall()}
+        con.close()
+
+        assert got == {int(k): int(v) for k, v in labels_np.items()}, (
+            seed, got, labels_np)
