@@ -193,6 +193,15 @@ def _q_seq_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("tail_waste_frac"))
 
 
+def _q_seq_packing_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-and-chunk packing PLAN: per-doc start offset / context
+    id / in-context offset via one window prefix-sum (partitions are the
+    packing shards — see functions/stats.py:packing_assignment)."""
+    from pyanomalydetector_spark.functions.stats import packing_assignment
+    seq = load_sequences(spark, sf_dir)
+    return packing_assignment(seq, ctx=2048)
+
+
 def _q_seq_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 token ids per partition (vocabulary-drift surface): explode →
     map-side-combined hash count → window top-k with deterministic
@@ -880,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_ntok_consistency": _q_seq_ntok_consistency,
         "seq_zscore_verdict": _q_seq_zscore_verdict,
         "seq_packing_stats": _q_seq_packing_stats,
+        "seq_packing_assignment": _q_seq_packing_assignment,
         "seq_top_tokens": _q_seq_top_tokens,
         "seq_length_percentiles": _q_seq_length_percentiles,
         "seq_drift_psi": _q_seq_drift_psi,
@@ -1977,6 +1987,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT source AS partition_id, doc_id
             FROM {_SEQ}
             WHERE CAST(substr(doc_id, 5, 8) AS BIGINT) % 37 = 0
+        """,
+        "seq_packing_assignment": f"""
+            SELECT source AS partition_id, doc_id,
+                   CAST(COALESCE(SUM(n_tok + 1) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_offset,
+                   CAST(FLOOR(COALESCE(SUM(n_tok + 1) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) / 2048.0) AS BIGINT) AS context_id,
+                   CAST(COALESCE(SUM(n_tok + 1) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) % 2048 AS BIGINT) AS offset_in_context
+            FROM {_SEQ}
         """,
         "seq_packing_stats": f"""
             SELECT source AS partition_id,

@@ -196,3 +196,35 @@ def length_percentiles(df, keys: list[str], value_col: str,
     out = df.groupBy(*keys).agg(agg)
     cols = [F.col("_ps")[i].alias(n) for i, n in enumerate(names)]
     return out.select(*keys, *cols)
+
+
+def packing_assignment(seq, ctx: int = 2048, partition_col: str = "source",
+                       id_col: str = "doc_id", len_col: str = "n_tok"):
+    """Greedy concat-and-chunk context assignment — the packing PLAN that
+    :func:`seq_packing_stats`' accounting summarizes: documents are laid
+    out in deterministic id order within each partition (with one EOS
+    separator each); every doc gets its absolute start offset in the
+    packed token stream, the context it starts in, and its offset inside
+    that context.
+
+    Scale shape: ONE shuffle (the window partition). The prefix sum within
+    a partition is inherently sequential — which is exactly how web-scale
+    packing runs: partitions are the packing shards (pack-within-shard
+    after sharding), so parallelism = #shards and no shard ever needs
+    another shard's offsets. Returns
+    ``(partition_id, doc_id, start_offset, context_id, offset_in_context)``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (Window.partitionBy(partition_col).orderBy(id_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(F.col(len_col) + 1).over(w), F.lit(0)) \
+             .cast("bigint")
+    return seq.select(
+        F.col(partition_col).alias("partition_id"),
+        F.col(id_col).alias("doc_id"),
+        start.alias("start_offset"),
+        F.floor(start / ctx).cast("bigint").alias("context_id"),
+        F.pmod(start, F.lit(ctx)).cast("bigint").alias("offset_in_context"),
+    )

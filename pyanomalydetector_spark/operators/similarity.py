@@ -200,11 +200,15 @@ def train_ivf_codebook(emb: DataFrame, n_cells: int = 16, n_iters: int = 5,
 
     base = emb.select(F.col(id_col).alias("vid"),
                       _as_double(F.col(vec_col)).alias("v"))
-    seeds = base.filter(F.col("v").isNotNull()) \
+    head = base.filter(F.col("v").isNotNull()).select("v").first()
+    if head is None:
+        raise ValueError("train_ivf_codebook: no non-null embeddings to seed")
+    dim = len(head["v"])
+    # null/ragged rows can neither seed nor train (the assign/partial
+    # kernels drop them with the same predicate)
+    seeds = base.filter(F.col("v").isNotNull() & (F.size("v") == dim)) \
                 .orderBy(F.pmod(F.xxhash64("vid"), F.lit(1_000_003)), "vid") \
                 .limit(n_cells).collect()
-    if not seeds:
-        raise ValueError("train_ivf_codebook: no non-null embeddings to seed")
     # a corpus smaller than n_cells degrades to fewer cells, not a crash
     n_cells = min(n_cells, len(seeds))
     cents = np.array([r["v"] for r in seeds], dtype=np.float64)

@@ -347,3 +347,42 @@ def test_duplicate_clusters_raises_when_unconverged(spark):
     assert set(got.values()) == {0}
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(chain, max_iters=3)
+
+
+def test_similarity_kernels_tolerate_null_and_ragged_embeddings(spark):
+    """Null or wrong-length embedding rows must be dropped by the Arrow
+    kernels (LSH bucketing, IVF training partials, cell assignment) — not
+    crash them — mirroring the brute path where a null vector's cos_sim is
+    NULL and never clears a threshold."""
+    from pyanomalydetector_spark.operators.similarity import (
+        assign_cells, cosine_pairs_above_lsh, train_ivf_codebook,
+    )
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0], i % 3)
+            for i in range(40)]
+    rows += [(100, None, 0), (101, [1.0], 0)]      # null + ragged
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+    pairs = cosine_pairs_above_lsh(emb, threshold=0.99, n_bits=16, bands=4)
+    ids = {i for r in pairs.collect() for i in (r["d1"], r["d2"])}
+    assert 100 not in ids and 101 not in ids
+
+    cents = train_ivf_codebook(emb, n_cells=4, n_iters=2)
+    assert cents.shape == (4, 3)
+
+    assigned = assign_cells(emb, cents)
+    got = {r["vec_id"] for r in assigned.collect()}
+    assert 100 not in got and 101 not in got
+    assert len(got) == 40
+
+
+def test_ivf_codebook_clamps_to_corpus_size(spark):
+    """A corpus smaller than n_cells degrades to fewer cells, not a crash."""
+    from pyanomalydetector_spark.operators.similarity import (
+        train_ivf_codebook,
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<double>")
+    cents = train_ivf_codebook(emb, n_cells=16, n_iters=2)
+    assert cents.shape == (3, 2)
