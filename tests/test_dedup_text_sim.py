@@ -386,3 +386,31 @@ def test_ivf_codebook_clamps_to_corpus_size(spark):
         "vec_id long, embedding array<double>")
     cents = train_ivf_codebook(emb, n_cells=16, n_iters=2)
     assert cents.shape == (3, 2)
+
+
+def test_merged_profiles_equal_individual_operators(spark, docs):
+    """quality_language_profile / text_profile ≡ the individual operators
+    they compose (column-for-column), so the merge is pure plan fusion."""
+    from pyanomalydetector_spark.operators.text import (
+        quality_language_profile, repetition_scores, text_profile,
+    )
+    prof = {r["doc_id"]: r for r in quality_language_profile(docs).collect()}
+    for r in quality_scores(docs).collect():
+        p = prof[r["doc_id"]]
+        for c in ("n_chars", "n_words", "punct_ratio", "stop_ratio",
+                  "mean_word_len", "quality_score"):
+            assert p[c] == r[c], (r["doc_id"], c)
+    for r in token_counts(docs).collect():
+        assert prof[r["doc_id"]]["n_bpe"] == r["n_bpe"]
+    for r in language_id(docs).collect():
+        p = prof[r["doc_id"]]
+        assert (p["lang_pred"], p["lang_score"]) == \
+            (r["lang_pred"], r["lang_score"])
+
+    tp = {r["doc_id"]: r for r in text_profile(docs).collect()}
+    for r in fingerprints(docs).collect():
+        assert tp[r["doc_id"]]["fingerprint"] == r["fingerprint"]
+    for r in repetition_scores(docs).collect():
+        p = tp[r["doc_id"]]
+        for c in ("n_words", "n_grams", "rep_ratio", "word_dup_ratio"):
+            assert p[c] == r[c], (r["doc_id"], c)

@@ -151,3 +151,26 @@ def test_semi_join_stays_semi(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     df = s.join(li, s["s_suppkey"] == li["l_suppkey"], "left_semi")
     assert "LeftSemi" in _plan(df)
+
+
+def test_merged_doc_profiles_are_single_scan_no_shuffle(spark, sf_dir):
+    """The merged per-doc profiles (quality+tokens+langid; fingerprint+
+    repetition) must stay sibling expressions in ONE scan stage — no
+    Exchange may appear (a doc_id join formulation would shuffle)."""
+    from pyanomalydetector_spark.operators.text import (
+        quality_language_profile, text_profile,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (quality_language_profile(docs), text_profile(docs)):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan[:2000]
+        assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_semi_anti_union_keeps_both_join_types(spark, sf_dir):
+    """The tagged semi∪anti frame must plan a LeftSemi AND a LeftAnti —
+    the union must not force either side through a different strategy."""
+    import __spark_entry__ as e
+    df = e.queries()["orders_semi_anti"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
