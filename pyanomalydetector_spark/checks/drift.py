@@ -187,14 +187,16 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
 
     **Cardinality guard**: the grid is exact (and cheap) for bounded
     columns like token length, but a continuous double column would make
-    #distinct ≈ #rows and the grid degenerate. If the distinct-value count
-    of the (cached) counts frame exceeds ``max_grid_values``, values are
-    re-binned into ``n_fallback_bins`` fixed-width bins over [min, max]
-    *from the cached counts* (no raw re-scan) and KS-D is computed on the
-    binned distributions — the standard histogram approximation, whose
-    error is bounded by the largest per-bin probability mass. The guard
-    decision costs one countDistinct over the already-persisted counts
-    frame, never a second pass over the raw input.
+    #distinct ≈ #rows and the grid degenerate. If the COMBINED
+    distinct-value count (df side + explicit-baseline side) exceeds
+    ``max_grid_values``, values are re-binned into ``n_fallback_bins``
+    fixed-width bins over the combined [min, max] *from the cached counts
+    frames* (no raw re-scan; NULL values stay NULL and drop out exactly as
+    in the unbinned path) and KS-D is computed on the binned
+    distributions — the standard histogram approximation, whose error is
+    bounded by the largest per-bin probability mass. The guard decision
+    costs count(Distinct) over the already-persisted counts frames, never
+    a second pass over the raw inputs.
 
     ``cache_registry``: persisted intermediates are appended here so a
     long-lived caller can unpersist them after materializing the result.
@@ -208,11 +210,27 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
     if cache_registry is not None:
         cache_registry.append(part_counts)
 
+    # explicit baseline: reduce it to its own value-counts frame up front —
+    # the guard must see ITS cardinality too (a continuous baseline would
+    # otherwise rebuild the degenerate distinct-per-row grid the guard
+    # exists to prevent), and binning must re-aggregate counts, not rows
+    base_vcounts = None
+    if baseline is not None:
+        base_vcounts = (
+            baseline.select(v).groupBy("v")
+                    .agg(F.count(F.lit(1)).alias("c_b"))
+        ).persist()
+        if cache_registry is not None:
+            cache_registry.append(base_vcounts)
+
     ndv = part_counts.select("v").distinct().count()
+    if base_vcounts is not None:
+        ndv += base_vcounts.count()
     bin_lo = bin_width = None
     if ndv > max_grid_values:
-        row = part_counts.agg(F.min("v").alias("lo"),
-                              F.max("v").alias("hi")).first()
+        sides = part_counts.select("v") if base_vcounts is None else \
+            part_counts.select("v").union(base_vcounts.select("v"))
+        row = sides.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
         lo, hi = row["lo"], row["hi"]
         if lo is not None and hi > lo:
             bin_lo, bin_width = lo, (hi - lo) / n_fallback_bins
@@ -220,9 +238,12 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
     def _binned(col: Column) -> Column:
         b = F.least(F.floor((col - F.lit(bin_lo)) / F.lit(bin_width)),
                     F.lit(n_fallback_bins - 1))
-        # clamp below lo too (baseline values can fall outside df's range)
         b = F.greatest(b, F.lit(0))
-        return (b * bin_width + bin_lo).cast("double")
+        # NULL stays NULL (a when-guard, because least/greatest SKIP nulls
+        # and would otherwise sweep null mass into the top bin): the exact
+        # path drops null values too — they never match the grid join keys
+        return F.when(col.isNotNull(),
+                      (b * bin_width + bin_lo).cast("double"))
 
     if bin_lo is not None:
         part_counts = (
@@ -231,6 +252,12 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
             .groupBy("partition_id", "v")
             .agg(F.sum("c_p").alias("c_p"))
         )
+        if base_vcounts is not None:
+            base_vcounts = (
+                base_vcounts
+                .withColumn("v", _binned(F.col("v")))
+                .groupBy("v").agg(F.sum("c_b").alias("c_b"))
+            )
 
     if baseline is None:
         # self-baseline: the partition/value universe AND the baseline counts
@@ -240,12 +267,10 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
         parts = part_counts.select("partition_id").distinct()
         base_counts = part_counts.groupBy("v").agg(F.sum("c_p").alias("c_b"))
     else:
-        base_v = baseline.select(v)
-        if bin_lo is not None:
-            base_v = base_v.select(_binned(F.col("v")).alias("v"))
-        values = base_v.union(part_counts.select("v")).distinct()
+        values = base_vcounts.select("v").union(part_counts.select("v")) \
+                             .distinct()
         parts = part_counts.select("partition_id").distinct()
-        base_counts = base_v.groupBy("v").agg(F.count(F.lit(1)).alias("c_b"))
+        base_counts = base_vcounts
     grid = parts.crossJoin(values)
 
     joined = (

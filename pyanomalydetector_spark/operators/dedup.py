@@ -213,7 +213,14 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     sh = hashed_shingles(docs, k, text_col).persist()
     if cache_registry is not None:
         cache_registry.append(sh)
-    cand = lsh_candidates(minhash_signatures(sh, num_hashes), bands, rows)
+    # persist: the candidate subplan (signatures + banding self-join +
+    # distinct) is consumed twice below (cand_ids and the verify join) —
+    # without this, exchange reuse is not guaranteed across AQE replanning
+    # and the LSH pipeline would execute twice
+    cand = lsh_candidates(minhash_signatures(sh, num_hashes), bands, rows) \
+        .persist()
+    if cache_registry is not None:
+        cache_registry.append(cand)
 
     # Exact-verify ONLY the candidate pairs: join the candidate set against
     # per-doc shingle sets and take array_intersect — never the full

@@ -105,6 +105,18 @@ def centroids(emb: DataFrame, cell_col: str = "label",
     )
 
 
+def _infer_dim(emb: DataFrame, vec_col: str, sample: int = 1024) -> int | None:
+    """Majority embedding length over a bounded sample (one cheap
+    first-partition job) — robust to a corrupt/ragged FIRST row, which
+    would otherwise pin a garbage dimensionality and make the kernels
+    silently drop the entire well-formed corpus as 'ragged'."""
+    row = (emb.select(F.size(F.col(vec_col)).alias("n"))
+              .filter(F.col("n") > 0).limit(sample)
+              .groupBy("n").count()
+              .orderBy(F.desc("count"), "n").first())
+    return int(row["n"]) if row else None
+
+
 def cosine_pairs_above_lsh(emb: DataFrame, threshold: float = 0.9,
                            n_bits: int = 32, bands: int = 8,
                            vec_col: str = "embedding",
@@ -125,11 +137,10 @@ def cosine_pairs_above_lsh(emb: DataFrame, threshold: float = 0.9,
     import pandas as pd
 
     rows_per_band = n_bits // bands
-    head = emb.select(vec_col).dropna().first()
-    if head is None:       # empty/all-null input → empty result, like brute
+    dim = _infer_dim(emb, vec_col)
+    if dim is None:        # empty/all-null input → empty result, like brute
         return emb.sparkSession.createDataFrame(
             [], "d1 long, d2 long, cos_sim double")
-    dim = len(head[0])
     H = np.random.default_rng(1234567).standard_normal((n_bits, dim))
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(H)
@@ -200,10 +211,9 @@ def train_ivf_codebook(emb: DataFrame, n_cells: int = 16, n_iters: int = 5,
 
     base = emb.select(F.col(id_col).alias("vid"),
                       _as_double(F.col(vec_col)).alias("v"))
-    head = base.filter(F.col("v").isNotNull()).select("v").first()
-    if head is None:
+    dim = _infer_dim(base, "v")
+    if dim is None:
         raise ValueError("train_ivf_codebook: no non-null embeddings to seed")
-    dim = len(head["v"])
     # null/ragged rows can neither seed nor train (the assign/partial
     # kernels drop them with the same predicate)
     seeds = base.filter(F.col("v").isNotNull() & (F.size("v") == dim)) \

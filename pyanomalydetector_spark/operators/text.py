@@ -139,10 +139,10 @@ def quality_language_profile(docs: DataFrame, text_col: str = "text",
     select: composing the per-doc operators as sibling column expressions
     costs a single pass over the text column with no shuffle, where joining
     their individual frames would shuffle each on doc_id."""
+    n_bpe = _token_count_exprs(text_col)[1]   # n_words already in quality
     return docs.select(F.col(id_col).alias("doc_id"),
                        *_quality_exprs(text_col),
-                       F.size(F.regexp_extract_all(
-                           F.col(text_col), F.lit(BPE_ISH), 0)).alias("n_bpe"),
+                       n_bpe,
                        *_langid_exprs(text_col))
 
 

@@ -168,6 +168,30 @@ def test_ks_cardinality_guard_bins_continuous_columns(spark, seq):
         # 256 bins over this range keep the histogram close to exact
         assert abs(exact[k] - binned[k]) < 0.1, k
 
+    # NULL values must drop out of the binned path exactly as they do in
+    # the unbinned one (least/greatest skip nulls — a naive bin expression
+    # would sweep null mass into the top bin)
+    cont_n = cont.withColumn(
+        "x", F.when(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0,
+                    F.lit(None).cast("double")).otherwise(F.col("x")))
+    e2 = {r["partition_id"]: r["ks_d"]
+          for r in ks_by_partition(cont_n, "source", "x").collect()}
+    b2 = {r["partition_id"]: r["ks_d"]
+          for r in ks_by_partition(cont_n, "source", "x", max_grid_values=50,
+                                   n_fallback_bins=256).collect()}
+    for k in e2:
+        assert abs(e2[k] - b2[k]) < 0.1, k
+
+    # explicit-baseline side must trip the guard too: a continuous
+    # high-cardinality baseline would otherwise rebuild the degenerate grid
+    bl = {r["partition_id"]: r["ks_d"]
+          for r in ks_by_partition(cont, "source", "x", baseline=cont,
+                                   max_grid_values=50,
+                                   n_fallback_bins=256).collect()}
+    for k in exact:
+        # baseline == the same rows ⇒ same statistic as self-baseline
+        assert abs(exact[k] - bl[k]) < 0.1, k
+
 
 def test_results_invariant_under_shuffle_partitioning(spark, seq):
     """Distributed-correctness property: verdicts must be identical at any
