@@ -105,3 +105,37 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
             target = p * (n - 1)
             assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1, \
                 (src, p, a, lo, hi, n)
+
+
+def test_packing_assignment_invariants(spark, sf_dir):
+    """Greedy concat-and-chunk assignment invariants per shard: offsets are
+    the exclusive prefix sum of (n_tok+1) in doc order (consecutive deltas
+    equal the previous doc's n_tok+1), context ids are non-decreasing, and
+    the final context count agrees with seq_packing_stats' accounting."""
+    from pyspark.sql import functions as F
+
+    from pyanomalydetector_spark.functions.stats import packing_assignment
+    from pyanomalydetector_spark.sources.sequences import load_sequences
+
+    seq = load_sequences(spark, sf_dir)
+    out = packing_assignment(seq, ctx=2048)
+    rows = sorted(out.collect(),
+                  key=lambda r: (r["partition_id"], r["start_offset"]))
+    lens = {(r["source"], r["doc_id"]): r["n_tok"]
+            for r in seq.select("source", "doc_id", "n_tok").collect()}
+
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["partition_id"], []).append(r)
+    assert by_part
+    for part, rs in by_part.items():
+        assert rs[0]["start_offset"] == 0
+        total = 0
+        for r in rs:
+            assert r["start_offset"] == total, (part, r)
+            assert r["context_id"] == total // 2048
+            assert r["offset_in_context"] == total % 2048
+            total += lens[(part, r["doc_id"])] + 1
+        # agreement with the packing-stats accounting
+        assert rs[-1]["start_offset"] + lens[(part, rs[-1]["doc_id"])] + 1 \
+            == total
