@@ -174,3 +174,42 @@ def test_semi_anti_union_keeps_both_join_types(spark, sf_dir):
     df = e.queries()["orders_semi_anti"](spark, sf_dir)
     plan = _plan(df)
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Two tables bucketed on the same key must equi-join with ZERO shuffle
+    Exchanges (bucket-to-bucket), and a groupBy on the bucket key must also
+    plan shuffle-free — the write-once-join-forever layout for hot join
+    keys (doc_id/itemid) at corpus scale."""
+    from pyanomalydetector_spark.sources.bucketing import (
+        bucketed_join, read_bucketed, write_bucketed,
+    )
+    seq = load_sequences(spark, sf_dir).select("doc_id", "n_tok", "source")
+    write_bucketed(seq, "seq_b1", "doc_id", n_buckets=8)
+    write_bucketed(seq.withColumnRenamed("n_tok", "n_tok2")
+                      .select("doc_id", "n_tok2"),
+                   "seq_b2", "doc_id", n_buckets=8)
+    try:
+        j = bucketed_join(spark, "seq_b1", "seq_b2", "doc_id")
+        jplan = j._jdf.queryExecution().executedPlan()
+        if jplan.nodeName().startswith("AdaptiveSparkPlan"):
+            jplan = jplan.initialPlan()
+
+        def count_nodes(p, name):
+            n = int(p.nodeName() == name)
+            for i in range(p.children().size()):
+                n += count_nodes(p.children().apply(i), name)
+            return n
+
+        assert count_nodes(jplan, "Exchange") == 0, jplan.toString()[:2000]
+        # result sanity: same multiset as the path-parquet join
+        assert j.count() == seq.join(seq.select("doc_id"), "doc_id").count()
+
+        g = read_bucketed(spark, "seq_b1").groupBy("doc_id").count()
+        gplan = g._jdf.queryExecution().executedPlan()
+        if gplan.nodeName().startswith("AdaptiveSparkPlan"):
+            gplan = gplan.initialPlan()
+        assert count_nodes(gplan, "Exchange") == 0, gplan.toString()[:2000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seq_b1")
+        spark.sql("DROP TABLE IF EXISTS seq_b2")
