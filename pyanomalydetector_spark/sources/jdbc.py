@@ -49,6 +49,14 @@ def write_table_jdbc(df: DataFrame, url: str, table: str,
         .option("driver", driver).mode(mode).save()
 
 
+def read_table_jdbc(spark: SparkSession, url: str, table: str,
+                    driver: str = DERBY_DRIVER) -> DataFrame:
+    """Plain table read (sink round-trip / verification side of
+    :func:`write_table_jdbc`)."""
+    return spark.read.format("jdbc").option("url", url) \
+        .option("dbtable", table).option("driver", driver).load()
+
+
 def read_metrics_jdbc(spark: SparkSession, url: str, table: str,
                       startep: int | None = None, endep: int | None = None,
                       item_ids: list[int] | None = None,

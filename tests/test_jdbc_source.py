@@ -66,3 +66,28 @@ def test_jdbc_partitioned_parallel_read(spark, url):
     single = read_metrics_jdbc(spark, url, "metrics", lo, hi)
     assert sorted(map(tuple, df.collect())) == \
         sorted(map(tuple, single.collect()))
+
+
+def test_verdict_sink_jdbc_round_trip(spark, sf_dir, url):
+    """The reference persists detection results to database tables
+    (models/anomalies.py upserts); the JDBC sink analog must round-trip
+    check-suite verdicts bit-for-bit through the database."""
+    from pyanomalydetector_spark.checks.core import (
+        Check, run_checks,
+    )
+    from pyanomalydetector_spark.sources.jdbc import (
+        read_table_jdbc, write_table_jdbc,
+    )
+    from pyanomalydetector_spark.sources.sequences import load_sequences
+
+    seq = load_sequences(spark, sf_dir)
+    res = run_checks(seq, [Check("uniq", "unique", {"key": "doc_id"})])
+    verdicts = res.verdicts.select(
+        "partition_id", "check_id",
+        F.col("passed").cast("int").alias("passed"),
+        F.col("n_violations").cast("bigint").alias("n_violations"))
+    write_table_jdbc(verdicts, url, "verdict_sink")
+    back = read_table_jdbc(spark, url, "verdict_sink")
+    a = {tuple(r) for r in verdicts.collect()}
+    b = {tuple(r) for r in back.select(*verdicts.columns).collect()}
+    assert a == b and a
