@@ -147,3 +147,20 @@ def test_wav_codec_roundtrip_property(n, seed, rate):
     out, got_rate = decode_wav(encode_wav(s, rate))
     assert got_rate == rate
     assert np.array_equal(out, s.astype(np.int32))
+
+
+@given(st.integers(0, 2047), st.integers(1, 10**12))
+@settings(max_examples=300, deadline=None)
+def test_integer_round_half_up_is_engine_portable(rem, total):
+    """The cross-engine rounding discipline (seq_packing_stats): the pure
+    integer formula k = (rem·2e6 + total) div (2·total) equals decimal
+    ROUND_HALF_UP of rem/total at 6 places, and k/1e6 is ONE correctly
+    rounded IEEE division of identical integers — so Spark and DuckDB emit
+    the same double bit pattern, where their native round() can differ by
+    one ULP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    k = (rem * 2_000_000 + total) // (2 * total)
+    d = (Decimal(rem) / Decimal(total)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    assert Decimal(k) / Decimal(1_000_000) == d
