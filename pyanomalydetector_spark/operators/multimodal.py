@@ -2,15 +2,18 @@
 
 Media are opaque ``binary`` payloads plus typed metadata. Two decode paths:
 
-- :func:`decode_media_features` / :func:`resize_images` — REAL codecs:
-  PNG (zlib inflate + full scanline unfiltering) and 16-bit PCM WAV,
-  implemented stdlib-only in sources/media.py. Features are stats of the
-  actually-decoded pixels/samples and are oracle-checked against the
-  fixture's closed-form pixel formulas.
+- :func:`decode_media_features` / :func:`resize_images` /
+  :func:`frame_sample_video` — REAL codecs: PNG (zlib inflate + full
+  scanline unfiltering), 16-bit PCM WAV, and the PNGV video container
+  (length-prefixed PNG frames — every frame genuinely decodes), all
+  stdlib-only in sources/media.py. Features are stats of the
+  actually-decoded pixels/samples/frames and are oracle-checked against
+  the fixture's closed-form pixel formulas (image/audio) or pinned by
+  round-trip tests (video).
 - :func:`decode_features` — the generic plumbing path with a documented
-  DECODE-STUB kernel for modalities whose codecs aren't in this container
-  (video/JPEG need ffmpeg/PIL); swap ``_fake_decode_batch`` for a real
-  decoder and nothing else changes.
+  DECODE-STUB kernel for codecs not in this container (JPEG/H.264 need
+  PIL/ffmpeg); swap ``_fake_decode_batch`` for a real decoder and nothing
+  else changes.
 
 Everything is ``mapInPandas`` / Arrow — payload bytes never pass through
 per-row Python, batches stream with bounded memory
@@ -108,10 +111,47 @@ def decode_features(media: DataFrame, dim: int = 16,
     return media.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+def frame_sample_video(media: DataFrame, n_out: int = 4) -> DataFrame:
+    """REAL video frame sampling: parse the PNGV container
+    (sources/media.py), pick ``n_out`` evenly spaced TRUE frames, and emit
+    each as its own standalone PNG payload ``(media_id, frame_idx,
+    frame_bytes)`` — frame_idx is the frame's actual index in the video,
+    and every emitted payload independently decodes with ``decode_png``.
+    Arrow-batched, partition-preserving, payload never in per-row Python
+    beyond the container walk."""
+    from pyanomalydetector_spark.sources.media import VID_MAGIC, encode_png
+
+    import struct
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyanomalydetector_spark.sources.media import decode_vid
+
+        for pdf in batches:
+            ids, idxs, out = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != VID_MAGIC:
+                    raise ValueError(f"media_id={mid}: not a video payload")
+                (n,) = struct.unpack(">I", b[4:8])
+                pick = sorted({int(k * (n - 1) / max(n_out - 1, 1))
+                               for k in range(min(n_out, n))})
+                frames = decode_vid(b)
+                for k in pick:
+                    ids.append(mid)
+                    idxs.append(k)
+                    out.append(encode_png(frames[k]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "frame_bytes": out})
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Split each payload into ``n_frames`` contiguous chunks — the plumbing
-    shape of video frame sampling (real decoders emit JPEG frames here).
-    One output row per frame, Arrow-batched, partition-preserving."""
+    """Split each payload into ``n_frames`` contiguous byte chunks — the
+    generic plumbing shape for opaque payloads; for REAL videos use
+    :func:`frame_sample_video`, which emits true decoded-and-re-encoded
+    frames. One output row per frame, Arrow-batched,
+    partition-preserving."""
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, chunks = [], [], []
@@ -155,7 +195,9 @@ def decode_media_features(media: DataFrame) -> DataFrame:
     Same scale posture as :func:`decode_features`: no shuffle, payload
     never enters per-row Python, batches stream with bounded memory.
     """
-    from pyanomalydetector_spark.sources.media import decode_png, decode_wav
+    from pyanomalydetector_spark.sources.media import (
+        decode_png, decode_vid, decode_wav,
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -174,10 +216,18 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                     s = s.astype(np.float64)
                     feats.append([float(len(s)), float(rate), float(s.mean()),
                                   float(s.min()), float(s.max())])
+                elif mtype == "video":
+                    frames = decode_vid(b)         # REAL per-frame PNG decode
+                    px = np.concatenate(
+                        [f.ravel() for f in frames]).astype(np.float64)
+                    feats.append([float(len(frames)),
+                                  float(frames[0].size),
+                                  float(px.mean()), float(px.min()),
+                                  float(px.max())])
                 else:
-                    raise NotImplementedError(
-                        f"no codec for media_type={mtype!r} in this "
-                        "environment (video decode needs ffmpeg)")
+                    raise ValueError(
+                        f"unknown media_type={mtype!r} "
+                        "(expected image | audio | video)")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
