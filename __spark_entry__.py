@@ -1460,7 +1460,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_features": f"""
             WITH m AS (SELECT media_id, media_type,
                               CAST(octet_length(payload) AS BIGINT) AS n_bytes,
-                              digest, width, height, sample_rate, n_samples
+                              digest, width, height, sample_rate, n_samples,
+                              n_frames
                        FROM {_media_sql()}),
             img AS (SELECT media_id, n_bytes, digest, width, height,
                            unnest(generate_series(
@@ -1496,6 +1497,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(a.f_mean, 6) AS f_mean, a.f_min, a.f_max
             FROM m JOIN auda a ON m.media_id = a.media_id
             WHERE m.media_type = 'audio'
+            UNION ALL
+            SELECT m.media_id, m.media_type, m.n_bytes, m.digest,
+                   CAST(m.n_frames AS DOUBLE) AS f_dim1,
+                   CAST(CAST(m.width AS BIGINT) * m.height AS DOUBLE)
+                       AS f_dim2,
+                   ROUND(a.f_mean, 6) AS f_mean, a.f_min, a.f_max
+            FROM m JOIN (
+                SELECT media_id, AVG(px) AS f_mean, MIN(px) AS f_min,
+                       MAX(px) AS f_max
+                FROM (SELECT media_id,
+                             CAST((media_id*7 + f*11 + k*3) % 256 AS DOUBLE)
+                                 AS px
+                      FROM (SELECT media_id,
+                                   unnest(generate_series(
+                                       0, CAST(n_frames AS BIGINT) - 1)) AS f,
+                                   width, height
+                            FROM m WHERE media_type = 'video') vf,
+                           LATERAL (SELECT unnest(generate_series(
+                               0, CAST(width AS BIGINT) * height - 1)) AS k) kk)
+                GROUP BY media_id
+            ) a ON m.media_id = a.media_id
+            WHERE m.media_type = 'video'
         """,
         "ev_rollup": f"""
             SELECT itemid, clock,

@@ -193,15 +193,33 @@ def audio_samples(mid: int) -> np.ndarray:
     return (((mid * 13 + k * 7) % 2048) - 1024).astype(np.int16)
 
 
+def video_dims(mid: int) -> tuple[int, int]:
+    return 8 + mid % 8, 8 + mid % 5                    # (w, h) per frame
+
+
+def video_frame_count(mid: int) -> int:
+    return 3 + mid % 4
+
+
+def video_frame_pixels(mid: int, f: int) -> np.ndarray:
+    """frame f, pixel[k] = (mid*7 + f*11 + k*3) % 256, row-major — closed
+    form in (mid, f, k) so the DuckDB oracle recomputes the decoded stats
+    arithmetically across every frame."""
+    w, h = video_dims(mid)
+    k = np.arange(w * h, dtype=np.int64)
+    return ((mid * 7 + f * 11 + k * 3) % 256).astype(np.uint8).reshape(h, w)
+
+
 def media_parquet_path(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    return os.path.join(_CACHE_ROOT, f"{tag}.parquet")
+    # _v2: three-way modality split (image | audio | video) + n_frames col
+    return os.path.join(_CACHE_ROOT, f"{tag}_v2.parquet")
 
 
 def synthesize_media(sf_dir: str, force: bool = False) -> str:
-    """Materialize the media table for ``sf_dir`` (even doc_id → PNG image,
-    odd → WAV audio); returns the parquet path. Pure-Python deterministic so
-    Spark and DuckDB read identical bytes."""
+    """Materialize the media table for ``sf_dir`` (doc_id mod 3: 0 → PNG
+    image, 1 → WAV audio, 2 → PNGV video); returns the parquet path.
+    Pure-Python deterministic so Spark and DuckDB read identical bytes."""
     out = media_parquet_path(sf_dir)
     if os.path.exists(out) and not force:
         return out
@@ -210,17 +228,24 @@ def synthesize_media(sf_dir: str, force: bool = False) -> str:
     ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                         columns=["doc_id"])["doc_id"].to_pylist()
     rows = {k: [] for k in ("media_id", "media_type", "payload", "width",
-                            "height", "sample_rate", "n_samples", "digest")}
+                            "height", "sample_rate", "n_samples", "n_frames",
+                            "digest")}
     for mid in sorted(ids):
-        if mid % 2 == 0:
+        if mid % 3 == 0:
             arr = image_pixels(mid)
             payload = encode_png(arr)
             w, h = image_dims(mid)
-            meta = ("image", w, h, 0, 0)
-        else:
+            meta = ("image", w, h, 0, 0, 0)
+        elif mid % 3 == 1:
             s = audio_samples(mid)
             payload = encode_wav(s, AUDIO_RATE)
-            meta = ("audio", 0, 0, AUDIO_RATE, len(s))
+            meta = ("audio", 0, 0, AUDIO_RATE, len(s), 0)
+        else:
+            nf = video_frame_count(mid)
+            payload = encode_vid([video_frame_pixels(mid, f)
+                                  for f in range(nf)])
+            w, h = video_dims(mid)
+            meta = ("video", w, h, 0, 0, nf)
         rows["media_id"].append(mid)
         rows["media_type"].append(meta[0])
         rows["payload"].append(payload)
@@ -228,6 +253,7 @@ def synthesize_media(sf_dir: str, force: bool = False) -> str:
         rows["height"].append(meta[2])
         rows["sample_rate"].append(meta[3])
         rows["n_samples"].append(meta[4])
+        rows["n_frames"].append(meta[5])
         rows["digest"].append(hashlib.sha256(payload).hexdigest()[:16])
 
     table = pa.table({
@@ -238,6 +264,7 @@ def synthesize_media(sf_dir: str, force: bool = False) -> str:
         "height": pa.array(rows["height"], pa.int32()),
         "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
         "n_samples": pa.array(rows["n_samples"], pa.int32()),
+        "n_frames": pa.array(rows["n_frames"], pa.int32()),
         "digest": pa.array(rows["digest"], pa.string()),
     })
     tmp = out + ".tmp"

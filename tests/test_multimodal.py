@@ -121,19 +121,28 @@ def test_wav_roundtrip():
 
 def test_real_decode_features_match_formulas(spark, sf_dir):
     from pyanomalydetector_spark.sources.media import (
-        load_media, image_pixels, audio_samples, AUDIO_RATE,
+        load_media, image_pixels, audio_samples, video_frame_count,
+        video_frame_pixels, AUDIO_RATE,
     )
     rm = load_media(spark, sf_dir)
     rows = decode_media_features(rm).collect()
     assert rows
-    for r in rows[:20]:
+    assert {r["media_type"] for r in rows} == {"image", "audio", "video"}
+    for r in rows[:30]:
         mid = r["media_id"]
         if r["media_type"] == "image":
             px = image_pixels(mid).astype(float)
             exp = [px.shape[1], px.shape[0], px.mean(), px.min(), px.max()]
-        else:
+        elif r["media_type"] == "audio":
             s = audio_samples(mid).astype(float)
             exp = [len(s), AUDIO_RATE, s.mean(), s.min(), s.max()]
+        else:
+            nf = video_frame_count(mid)
+            px = np.concatenate(
+                [video_frame_pixels(mid, f).ravel()
+                 for f in range(nf)]).astype(float)
+            exp = [nf, video_frame_pixels(mid, 0).size,
+                   px.mean(), px.min(), px.max()]
         got = list(r["features"])
         assert got == pytest.approx(exp)
 
