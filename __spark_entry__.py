@@ -231,8 +231,7 @@ def _q_seq_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_seq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI of per-partition n_tok distribution vs whole-table baseline."""
     seq = load_sequences(spark, sf_dir)
-    return psi_by_partition(seq, "source", "n_tok", n_buckets=10,
-                            low_cardinality=True) \
+    return psi_by_partition(seq, "source", "n_tok", n_buckets=10) \
         .select("partition_id", F.round("psi", 6).alias("psi"))
 
 

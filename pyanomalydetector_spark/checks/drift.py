@@ -67,39 +67,53 @@ def psi_by_partition(df: DataFrame, partition_col: str, value_col: str,
         bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
         return frame.withColumn("bucket", bucket)
 
+    if baseline is None:
+        # Self-baseline in ONE linear plan: the n_buckets bucket counts per
+        # partition are conditional sums in a single map-side-combined
+        # groupBy (the pinned-psi idiom — the shuffle carries n_buckets
+        # longs per partition), and the baseline histogram + grand total
+        # are WINDOW sums over that tiny aggregated frame (#partitions
+        # rows). Two jobs total (bounds + this plan); no grid join, no
+        # persisted intermediate, nothing for concurrent stages to race.
+        if lo is None or hi == lo:
+            bucket = F.lit(0)
+        else:
+            width = F.lit((hi - lo) / n_buckets)
+            raw = F.floor((v - F.lit(lo)) / width)
+            bucket = F.least(F.greatest(raw, F.lit(0)),
+                             F.lit(n_buckets - 1))
+        aggs = [F.sum(F.when(bucket == b, 1).otherwise(0)).alias(f"b{b}")
+                for b in range(n_buckets)]
+        part = df.groupBy(F.col(partition_col).alias("partition_id")) \
+                 .agg(*aggs)
+
+        w_all = Window.partitionBy()          # #partitions rows — trivial
+        n_p = sum((F.col(f"b{b}") for b in range(1, n_buckets)),
+                  F.col("b0"))
+        n_base = F.sum(n_p).over(w_all).cast("double")
+        terms = []
+        for b in range(n_buckets):
+            q_cnt = F.sum(F.col(f"b{b}")).over(w_all)
+            p = (F.col(f"b{b}") + F.lit(PSI_SMOOTH)) / \
+                (n_p + F.lit(PSI_SMOOTH * n_buckets))
+            q = (q_cnt + F.lit(PSI_SMOOTH)) / \
+                (n_base + F.lit(PSI_SMOOTH * n_buckets))
+            terms.append((p - q) * F.log(p / q))
+        psi = sum(terms[1:], terms[0])
+        return part.select("partition_id", psi.alias("psi"))
+
     part_counts = (
         bucketize(df)
         .groupBy(F.col(partition_col).alias("partition_id"), "bucket")
         .agg(F.count(F.lit(1)).alias("c_p"))
     )
-
-    if baseline is None:
-        # self-baseline: the partition universe, the baseline histogram AND
-        # its total all derive from the one part_counts shuffle — no second
-        # full-table bucketize scan (same discipline as ks_by_partition)
-        part_counts = part_counts.persist()
-        if cache_registry is not None:
-            cache_registry.append(part_counts)
-        # materialize the cache NOW: the histogram is tiny (#partitions ×
-        # n_buckets rows, independent of input size) and the downstream
-        # branches run as CONCURRENT stages inside one job — with a lazy
-        # persist they race, each missing the unpopulated cache and
-        # recomputing the aggregate (measured 2-4× slower than one eager
-        # build)
-        part_counts.count()
-        parts = part_counts.select("partition_id").distinct()
-        base_counts = part_counts.groupBy("bucket").agg(
-            F.sum("c_p").alias("c_b"))
-        base_total = part_counts.agg(
-            F.sum("c_p").cast("double").alias("n_base"))
-    else:
-        parts = df.select(F.col(partition_col).alias("partition_id")).distinct()
-        base_counts = (
-            bucketize(base)
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("c_b"))
-        )
-        base_total = base.agg(F.count(F.lit(1)).cast("double").alias("n_base"))
+    parts = df.select(F.col(partition_col).alias("partition_id")).distinct()
+    base_counts = (
+        bucketize(base)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+    )
+    base_total = base.agg(F.count(F.lit(1)).cast("double").alias("n_base"))
 
     return _psi_finish(df.sparkSession, parts, part_counts, base_counts,
                        base_total, n_buckets)
