@@ -20,6 +20,21 @@ from pyspark.sql import functions as F
 PSI_SMOOTH = 0.5  # Laplace smoothing added to every bucket count
 
 
+def _bucket_expr(value: Column, lo, hi, n_buckets: int) -> Column:
+    """Fixed-width bucket index over [lo, hi] with edge clamping — the ONE
+    definition every PSI path (self-baseline, explicit-baseline,
+    low-cardinality, pinned) derives from, mirrored by the DuckDB oracle.
+    Degenerate range (or empty input) → bucket 0; a NULL value coerces to
+    bucket 0 via the null-skipping greatest, identically in both engines.
+    """
+    if lo is None or hi == lo:
+        return F.lit(0)
+    width = F.lit((hi - lo) / n_buckets)
+    raw = F.floor((value - F.lit(lo)) / width)
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+
+
+
 def psi_by_partition(df: DataFrame, partition_col: str, value_col: str,
                      n_buckets: int = 10,
                      baseline: DataFrame | None = None,
@@ -60,12 +75,9 @@ def psi_by_partition(df: DataFrame, partition_col: str, value_col: str,
     lo, hi = row["lo"], row["hi"]
 
     def bucketize(frame: DataFrame) -> DataFrame:
-        if lo is None or hi == lo:      # empty input / degenerate range
-            return frame.withColumn("bucket", F.lit(0))
-        width = F.lit((hi - lo) / n_buckets)
-        raw = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / width)
-        bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
-        return frame.withColumn("bucket", bucket)
+        return frame.withColumn(
+            "bucket",
+            _bucket_expr(F.col(value_col).cast("double"), lo, hi, n_buckets))
 
     if baseline is None:
         # Self-baseline in ONE linear plan: the n_buckets bucket counts per
@@ -75,13 +87,7 @@ def psi_by_partition(df: DataFrame, partition_col: str, value_col: str,
         # are WINDOW sums over that tiny aggregated frame (#partitions
         # rows). Two jobs total (bounds + this plan); no grid join, no
         # persisted intermediate, nothing for concurrent stages to race.
-        if lo is None or hi == lo:
-            bucket = F.lit(0)
-        else:
-            width = F.lit((hi - lo) / n_buckets)
-            raw = F.floor((v - F.lit(lo)) / width)
-            bucket = F.least(F.greatest(raw, F.lit(0)),
-                             F.lit(n_buckets - 1))
+        bucket = _bucket_expr(v, lo, hi, n_buckets)
         aggs = [F.sum(F.when(bucket == b, 1).otherwise(0)).alias(f"b{b}")
                 for b in range(n_buckets)]
         part = df.groupBy(F.col(partition_col).alias("partition_id")) \
@@ -171,13 +177,8 @@ def _psi_low_cardinality(df: DataFrame, partition_col: str, value_col: str,
 
     row = pvc.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
     lo, hi = row["lo"], row["hi"]
-    if lo is None or hi == lo:
-        bucket = F.lit(0)
-    else:
-        width = F.lit((hi - lo) / n_buckets)
-        raw = F.floor((F.col("v") - F.lit(lo)) / width)
-        bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
-    bucketed = pvc.withColumn("bucket", bucket)
+    bucketed = pvc.withColumn(
+        "bucket", _bucket_expr(F.col("v"), lo, hi, n_buckets))
 
     part_counts = bucketed.groupBy("partition_id", "bucket") \
                           .agg(F.sum("c_p").alias("c_p"))
@@ -319,11 +320,7 @@ def psi_by_partition_pinned(df: DataFrame, partition_col: str, value_col: str,
     """
     nb = len(base_counts)
     v = F.col(value_col).cast("double")
-    if hi == lo:
-        bucket = F.lit(0)
-    else:
-        raw = F.floor((v - F.lit(lo)) / F.lit((hi - lo) / nb))
-        bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1))
+    bucket = _bucket_expr(v, lo, hi, nb)
     aggs = [F.sum(F.when(bucket == b, 1).otherwise(0)).alias(f"b{b}")
             for b in range(nb)]
     part = df.groupBy(F.col(partition_col).alias("partition_id")).agg(*aggs)

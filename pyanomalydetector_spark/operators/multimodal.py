@@ -118,28 +118,33 @@ def frame_sample_video(media: DataFrame, n_out: int = 4) -> DataFrame:
     frame_bytes)`` — frame_idx is the frame's actual index in the video,
     and every emitted payload independently decodes with ``decode_png``.
     Arrow-batched, partition-preserving, payload never in per-row Python
-    beyond the container walk."""
-    from pyanomalydetector_spark.sources.media import VID_MAGIC, encode_png
-
-    import struct
-
+    beyond the container walk — and only the PICKED frames are decoded
+    (the header walk is O(n_frames) length reads; decode cost is
+    O(n_out), not O(n_frames))."""
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyanomalydetector_spark.sources.media import decode_vid
+        from pyanomalydetector_spark.sources.media import (
+            decode_png, encode_png, vid_frame_spans,
+        )
 
         for pdf in batches:
             ids, idxs, out = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                if b[:4] != VID_MAGIC:
-                    raise ValueError(f"media_id={mid}: not a video payload")
-                (n,) = struct.unpack(">I", b[4:8])
-                pick = sorted({int(k * (n - 1) / max(n_out - 1, 1))
-                               for k in range(min(n_out, n))})
-                frames = decode_vid(b)
+                try:
+                    spans = vid_frame_spans(b)
+                except ValueError as e:
+                    raise ValueError(f"media_id={mid}: {e}") from e
+                n = len(spans)
+                if n <= n_out:
+                    pick = range(n)          # short video: every frame
+                else:
+                    pick = sorted({int(k * (n - 1) / (n_out - 1))
+                                   for k in range(n_out)})
                 for k in pick:
+                    o, ln = spans[k]
                     ids.append(mid)
                     idxs.append(k)
-                    out.append(encode_png(frames[k]))
+                    out.append(encode_png(decode_png(b[o:o + ln])))
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
                                 "frame_bytes": out})
 
@@ -202,7 +207,9 @@ def decode_media_features(media: DataFrame) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, n_bytes, digests = [], [], []
-            for mtype, payload in zip(pdf["media_type"], pdf["payload"]):
+            for mid, mtype, payload in zip(pdf["media_id"],
+                                           pdf["media_type"],
+                                           pdf["payload"]):
                 b = bytes(payload)
                 n_bytes.append(len(b))
                 digests.append(hashlib.sha256(b).hexdigest()[:16])
@@ -218,6 +225,9 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                                   float(s.min()), float(s.max())])
                 elif mtype == "video":
                     frames = decode_vid(b)         # REAL per-frame PNG decode
+                    if not frames:
+                        raise ValueError(
+                            f"media_id={mid}: zero-frame video payload")
                     px = np.concatenate(
                         [f.ravel() for f in frames]).astype(np.float64)
                     feats.append([float(len(frames)),

@@ -137,19 +137,26 @@ def encode_vid(frames: list) -> bytes:
     return b"".join(out)
 
 
-def decode_vid(data: bytes) -> list:
-    """Decode the PNGV container back to its frames (list of uint8 [h, w]
-    arrays)."""
+def vid_frame_spans(data: bytes) -> list:
+    """Walk the PNGV header: list of (offset, length) of each frame's PNG
+    bytes — O(n_frames) u32 reads, no decoding. Shared by full decode and
+    selective frame sampling (which decodes only the picked frames)."""
     if data[:4] != VID_MAGIC:
         raise ValueError("not a PNGV payload")
     (n,) = struct.unpack(">I", data[4:8])
-    off, frames = 8, []
+    off, spans = 8, []
     for _ in range(n):
         (ln,) = struct.unpack(">I", data[off:off + 4])
         off += 4
-        frames.append(decode_png(data[off:off + ln]))
+        spans.append((off, ln))
         off += ln
-    return frames
+    return spans
+
+
+def decode_vid(data: bytes) -> list:
+    """Decode the PNGV container back to its frames (list of uint8 [h, w]
+    arrays)."""
+    return [decode_png(data[o:o + ln]) for o, ln in vid_frame_spans(data)]
 
 
 def encode_wav(samples: np.ndarray, rate: int = AUDIO_RATE) -> bytes:

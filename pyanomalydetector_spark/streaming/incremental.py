@@ -264,5 +264,7 @@ def stateful_running_stats_tws(stream: DataFrame, id_col: str = "itemid",
         statefulProcessor=_RunningStats(),
         outputStructType=out_schema,
         outputMode="Update",
-        timeMode="None",
+        # state TTL is only legal in ProcessingTime mode — a TTL under
+        # TimeMode.None fails at query start
+        timeMode="ProcessingTime" if ttl_ms else "None",
     )

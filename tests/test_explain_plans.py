@@ -189,6 +189,11 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     write_bucketed(seq.withColumnRenamed("n_tok", "n_tok2")
                       .select("doc_id", "n_tok2"),
                    "seq_b2", "doc_id", n_buckets=8)
+    # disable auto-broadcast: at test scale the join would otherwise plan
+    # as BroadcastHashJoin and the zero-Exchange assertion would pass with
+    # or without bucketing — the point is a SortMergeJoin with NO shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         j = bucketed_join(spark, "seq_b1", "seq_b2", "doc_id")
         jplan = j._jdf.queryExecution().executedPlan()
@@ -201,6 +206,8 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
                 n += count_nodes(p.children().apply(i), name)
             return n
 
+        assert count_nodes(jplan, "SortMergeJoin") == 1, \
+            jplan.toString()[:2000]
         assert count_nodes(jplan, "Exchange") == 0, jplan.toString()[:2000]
         # result sanity: same multiset as the path-parquet join
         assert j.count() == seq.join(seq.select("doc_id"), "doc_id").count()
@@ -211,5 +218,6 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
             gplan = gplan.initialPlan()
         assert count_nodes(gplan, "Exchange") == 0, gplan.toString()[:2000]
     finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS seq_b1")
         spark.sql("DROP TABLE IF EXISTS seq_b2")
