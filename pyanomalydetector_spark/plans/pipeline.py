@@ -85,17 +85,63 @@ def long_trends_window(metrics: DataFrame, cfg: DetectorConfig,
 def detect_pipeline(spark: SparkSession, sf_dir: str,
                     cfg: DetectorConfig | None = None,
                     endep: int = ENDEP,
-                    stages: tuple[int, ...] = (1, 2, 3, 4)) -> DataFrame:
+                    stages: tuple[int, ...] = (1, 2, 3, 4),
+                    fused: bool = True) -> DataFrame:
     """Full cascade over events (detect1→2→3→4, like the reference's default
-    ``detection_stages``); returns the surviving anomaly key set."""
+    ``detection_stages``); returns the surviving anomaly key set.
+
+    ``fused=True`` (default) runs the single-plan predicate-algebra cascade
+    (operators/cascade_fused.py — 2 scans, ~3 jobs); ``fused=False`` keeps
+    the staged semi-join chain, which also early-exits between stages like
+    the reference driver loop (the right call when most runs die at stage 1).
+    Both produce the same survivor set (tests/test_cascade_fused.py).
+    """
     cfg = cfg or DetectorConfig()
     metrics = events_metrics(spark, sf_dir)
     history, trends, hist_count, hist_count2, startep2 = \
         split_windows(metrics, cfg, endep)
     long_trends = hist_count4 = hist_count4_2 = None
+
+    strict = (cfg.strict_reference_peaks or cfg.strict_reference_diff_guard
+              or cfg.strict_reference_detect1_guard)
+    t_start = endep - cfg.trends_interval * cfg.trends_retention
+    if fused and not strict and 4 in stages \
+            and t_start % cfg.trends_interval == 0:
+        # Shared-scan path: the short trends window is a bucket-aligned
+        # subrange of the long one, so ONE rollup shuffle serves both — the
+        # short env is a filter over the checkpointed long rollup (the
+        # bucket grid is absolute, so filtered-long ≡ short exactly when
+        # t_start sits on a bucket boundary).
+        from pyanomalydetector_spark.operators.cascade_fused import \
+            detect_cascade_fused
+        h_start = endep - cfg.history_interval * cfg.history_retention
+        t_start4 = endep - cfg.trends_interval * cfg.long_trends_retention
+        src = metrics.filter((F.col("clock") >= t_start4)
+                             & (F.col("clock") < h_start))
+        long_trends = tumbling_rollup(src, cfg.trends_interval) \
+            .localCheckpoint()
+        trends = long_trends.filter(F.col("clock") >= t_start)
+        hist_count4, hist_count4_2 = _grid_counts(
+            t_start4, endep, startep2, cfg.history_interval)
+        return detect_cascade_fused(history, trends, history, cfg,
+                                    hist_count, hist_count2, startep2,
+                                    long_trends_df=long_trends,
+                                    hist_count4=hist_count4,
+                                    hist_count4_2=hist_count4_2,
+                                    stages=stages, materialize_envs=False)
+
     if 4 in stages:
         long_trends, hist_count4, hist_count4_2 = \
             long_trends_window(metrics, cfg, endep)
+    if fused and not strict:
+        from pyanomalydetector_spark.operators.cascade_fused import \
+            detect_cascade_fused
+        return detect_cascade_fused(history, trends, history, cfg,
+                                    hist_count, hist_count2, startep2,
+                                    long_trends_df=long_trends,
+                                    hist_count4=hist_count4,
+                                    hist_count4_2=hist_count4_2,
+                                    stages=stages)
     return detect_cascade(history, trends, history, cfg,
                           hist_count, hist_count2, startep2,
                           long_trends_df=long_trends,
