@@ -90,8 +90,7 @@ def main() -> None:
                 allowed = e._allowed_sources(seq)
                 t0 = time.perf_counter()
                 res = run_checks(seq, default_suite(allowed))
-                n_v = res.verdicts.count()
-                n_viol = res.violations.count()
+                n_v, n_viol = res.materialize()
                 samples.append(round(time.perf_counter() - t0, 4))
                 rows[name] = n_v + n_viol
                 n_seq = seq.count()

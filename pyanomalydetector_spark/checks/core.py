@@ -95,6 +95,26 @@ class CheckResult:
         for frame in self.cached:
             frame.unpersist()
 
+    def materialize(self, parallel: bool = True) -> tuple[int, int]:
+        """Count verdicts and violations; returns ``(n_verdicts, n_viols)``.
+
+        Persisted intermediates are materialized FIRST (sequentially — one
+        cheap job each over work the counts need anyway), so the two result
+        counts can then run on concurrent threads without racing an
+        unmaterialized cache: two actions hitting a lazy persist at once
+        each recompute the whole subtree (the documented lazy-persist
+        race), whereas after eager materialization both are cache hits.
+        """
+        for frame in self.cached:
+            frame.count()
+        if not parallel:
+            return self.verdicts.count(), self.violations.count()
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fv = ex.submit(self.verdicts.count)
+            fw = ex.submit(self.violations.count)
+            return fv.result(), fw.result()
+
 
 def _empty(spark: SparkSession, schema: StructType) -> DataFrame:
     return spark.createDataFrame([], schema)
@@ -466,12 +486,21 @@ def _check_drift(df: DataFrame, check: Check, pcol: str, stat: str) -> CheckResu
             from pyanomalydetector_spark.checks.drift import ks_by_partition_counts
             scored = ks_by_partition_counts(df, pcol, value_col, base_counts)
         else:
-            scored = ks_by_partition(df, pcol, value_col, baseline=baseline,
-                                     cache_registry=cache_registry)
+            scored = ks_by_partition(
+                df, pcol, value_col, baseline=baseline,
+                cache_registry=cache_registry,
+                # structurally bounded columns (token length ≤ context
+                # size) skip the cardinality guard's blocking job and run
+                # the fully-lazy single-plan route
+                bounded=bool(check.params.get("bounded", False)),
+                # rows_scanned derives from the counts shuffle — saves the
+                # second raw-input scan below
+                include_rows=True)
         obs = "ks_d"
 
-    rows = _rows_per_partition(df, pcol)
-    verdicts = scored.join(rows, "partition_id").select(
+    if "rows_scanned" not in scored.columns:
+        scored = scored.join(_rows_per_partition(df, pcol), "partition_id")
+    verdicts = scored.select(
         "partition_id",
         F.lit(check.check_id).alias("check_id"),
         (F.col(obs) <= threshold).alias("passed"),
@@ -579,6 +608,9 @@ def default_suite(allowed_sources: Iterable[str]) -> list[Check]:
         Check("n_tok_consistency", "n_tok_consistency", {}),
         Check("drift_psi_n_tok", "drift_psi",
               {"value_col": "n_tok", "buckets": 10, "threshold": 0.25}),
+        # bounded: token length is structurally capped by the context size,
+        # so the KS cardinality guard (a blocking distinct-count job) is
+        # provably unnecessary → single-plan route
         Check("drift_ks_n_tok", "drift_ks",
-              {"value_col": "n_tok", "threshold": 0.35}),
+              {"value_col": "n_tok", "threshold": 0.35, "bounded": True}),
     ]

@@ -193,7 +193,9 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
                     baseline: DataFrame | None = None,
                     cache_registry: list | None = None,
                     max_grid_values: int = 65536,
-                    n_fallback_bins: int = 4096) -> DataFrame:
+                    n_fallback_bins: int = 4096,
+                    bounded: bool = False,
+                    include_rows: bool = False) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov D per partition vs baseline.
 
     D = max over the combined support of |CDF_partition − CDF_baseline|.
@@ -213,9 +215,25 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
     costs count(Distinct) over the already-persisted counts frames, never
     a second pass over the raw inputs.
 
+    ``bounded=True`` skips the guard (and its blocking distinct-count job)
+    entirely — the opt-in for *structurally* bounded columns, where the
+    distinct-value count is capped by construction at any corpus scale
+    (token length ≤ context size — the same argument as
+    :func:`psi_by_partition`'s ``low_cardinality``). Unbounded or unknown
+    columns must keep the guard. With no explicit baseline this routes to
+    :func:`_ks_bounded_self` — a fully-lazy single linear plan (no persist,
+    no grid self-join, no blocking job at all).
+
+    ``include_rows=True`` appends a ``rows_scanned`` column (total rows per
+    partition, NULL values included) derived from the already-shuffled
+    counts frame — saving callers that need it a second raw-input scan.
+
     ``cache_registry``: persisted intermediates are appended here so a
     long-lived caller can unpersist them after materializing the result.
     """
+    if bounded and baseline is None:
+        return _ks_bounded_self(df, partition_col, value_col, include_rows)
+
     v = F.col(value_col).cast("double").alias("v")
 
     part_counts = (
@@ -224,6 +242,9 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
     ).persist()
     if cache_registry is not None:
         cache_registry.append(part_counts)
+    rows = part_counts.groupBy("partition_id") \
+                      .agg(F.sum("c_p").alias("rows_scanned")) \
+        if include_rows else None
 
     # explicit baseline: reduce it to its own value-counts frame up front —
     # the guard must see ITS cardinality too (a continuous baseline would
@@ -238,8 +259,8 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
         if cache_registry is not None:
             cache_registry.append(base_vcounts)
 
-    ndv = part_counts.select("v").distinct().count()
-    if base_vcounts is not None:
+    ndv = 0 if bounded else part_counts.select("v").distinct().count()
+    if not bounded and base_vcounts is not None:
         ndv += base_vcounts.count()
     bin_lo = bin_width = None
     if ndv > max_grid_values:
@@ -301,11 +322,93 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
     cdf_p = F.sum("c_p").over(w_cum) / F.sum("c_p").over(w_tot)
     cdf_b = F.sum("c_b").over(w_cum) / F.sum("c_b").over(w_tot)
 
-    return (
+    out = (
         joined.withColumn("d", F.abs(cdf_p - cdf_b))
               .groupBy("partition_id")
               .agg(F.max("d").alias("ks_d"))
     )
+    if rows is not None:
+        out = out.join(rows, "partition_id")
+    return out
+
+
+def _ks_bounded_self(df: DataFrame, partition_col: str, value_col: str,
+                     include_rows: bool) -> DataFrame:
+    """Self-baseline KS as ONE linear plan — the ``bounded=True`` route.
+
+    The naive formulation joins a dense (partitions × values) grid back onto
+    the counts so every partition's CDF is sampled at every global value.
+    That grid is unnecessary: between two consecutive values of partition
+    *p*, CDF_p is constant and CDF_b is monotone, so |CDF_p − CDF_b| over
+    the gap is maximized at one of its ends — both of which are visible
+    from p's own rows as left/right limits. Per (partition, value) row we
+    therefore evaluate TWO candidates:
+
+    - at v:          |cum_p/n_p − cum_b/n_base|
+    - just before v: |(cum_p−c_p)/n_p − (cum_b−c_b)/n_base|
+
+    (the second also covers the head — base mass below p's first value —
+    and the row at p's max value covers the tail, where CDF_p = 1). The
+    max over both candidates over p's rows equals the dense-grid max
+    exactly, candidate-for-candidate in the same long/long→double
+    arithmetic, so results are bit-identical to the guarded path.
+
+    Plan shape: one groupBy shuffle over the raw scan for the partition
+    side; the per-value base CDF is its own single-column aggregation of
+    the raw input (a second, column-pruned scan — deliberately NOT a
+    reuse of the partition-side shuffle, whose exchange AQE re-plans per
+    branch; cheap pruned re-scans are this engine's documented trade) with
+    its global cumulative window running over the tiny distinct-values
+    frame only, broadcast back onto the counts; windows + final agg then
+    share one hash-partitioning by partition_id. No persist, no blocking
+    driver job, nothing for concurrent stages to race, no wide frame ever
+    through a single-partition window. Shuffled state is O(partitions ×
+    distinct values) — bounded by the caller's structural guarantee.
+
+    NULL values carry no probability mass (identically to the grid path,
+    where NULL keys never match the grid join); a partition whose values
+    are ALL NULL yields ``ks_d = NaN``, matching the grid's 0/0. With
+    ``include_rows``, ``rows_scanned`` counts NULL rows too.
+    """
+    v = F.col(value_col).cast("double").alias("v")
+    pc = (
+        df.select(F.col(partition_col).alias("partition_id"), v)
+          .groupBy("partition_id", "v").agg(F.count(F.lit(1)).alias("c_p"))
+    )
+
+    w_v = Window.orderBy("v") \
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = (
+        df.select(v).filter(F.col("v").isNotNull())
+          .groupBy("v").agg(F.count(F.lit(1)).alias("c_b"))
+          .select("v", "c_b", F.sum("c_b").over(w_v).alias("cum_b"))
+          .withColumn("n_base", F.sum("c_b").over(Window.partitionBy()))
+    )
+
+    j = pc.join(F.broadcast(base), "v", "left")
+    w_part = Window.partitionBy("partition_id")
+    w_cum = Window.partitionBy("partition_id") \
+                  .orderBy(F.col("v").asc_nulls_first()) \
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # NULL-value rows contribute 0 mass; sorting them first keeps the
+    # cumulative sums at non-null rows untouched
+    c_nn = F.when(F.col("v").isNotNull(), F.col("c_p")).otherwise(F.lit(0))
+    cum_p = F.sum(c_nn).over(w_cum)
+    n_p = F.sum(c_nn).over(w_part)
+
+    cdf_p = cum_p / n_p
+    cdf_b = F.col("cum_b") / F.col("n_base")
+    pre_p = (cum_p - F.col("c_p")) / n_p
+    pre_b = (F.col("cum_b") - F.col("c_b")) / F.col("n_base")
+    d = F.when(F.col("v").isNotNull(),
+               F.greatest(F.abs(cdf_p - cdf_b), F.abs(pre_p - pre_b)))
+
+    scored = j.withColumn("d", d).withColumn("c_nn", c_nn)
+    aggs = [F.when(F.sum("c_nn") == 0, F.lit(float("nan")))
+             .otherwise(F.max("d")).alias("ks_d")]
+    if include_rows:
+        aggs.append(F.sum("c_p").alias("rows_scanned"))
+    return scored.groupBy("partition_id").agg(*aggs)
 
 
 def psi_by_partition_pinned(df: DataFrame, partition_col: str, value_col: str,

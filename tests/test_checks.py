@@ -193,6 +193,56 @@ def test_ks_cardinality_guard_bins_continuous_columns(spark, seq):
         assert abs(exact[k] - bl[k]) < 0.1, k
 
 
+def test_ks_bounded_single_plan_equals_grid(spark, seq):
+    """``bounded=True`` (self-baseline) routes KS through the fully-lazy
+    single linear plan — no dense grid, no persist, no blocking guard job.
+    Its left/right-limit candidate evaluation must reproduce the dense-grid
+    maximum bit-for-bit (same long/long→double arithmetic on the same
+    integer cumulative sums), and ``include_rows`` must count NULL-value
+    rows exactly like a raw count(*) per partition."""
+    from pyanomalydetector_spark.checks.drift import ks_by_partition
+
+    a = {r["partition_id"]: r["ks_d"]
+         for r in ks_by_partition(seq, "source", "n_tok").collect()}
+    b = {r["partition_id"]: (r["ks_d"], r["rows_scanned"])
+         for r in ks_by_partition(seq, "source", "n_tok", bounded=True,
+                                  include_rows=True).collect()}
+    raw_rows = {r["source"]: r["cnt"]
+                for r in seq.groupBy("source")
+                            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k][0], k          # bit-identical, not approx
+        assert b[k][1] == raw_rows[k], k
+
+    # NULL values carry no mass in the statistic but DO count in
+    # rows_scanned — identical to the grid path + raw count
+    seq_n = seq.withColumn(
+        "n_tok", F.when(F.pmod(F.xxhash64("doc_id"), F.lit(7)) == 0,
+                        F.lit(None).cast("int")).otherwise(F.col("n_tok")))
+    e = {r["partition_id"]: r["ks_d"]
+         for r in ks_by_partition(seq_n, "source", "n_tok").collect()}
+    g = {r["partition_id"]: (r["ks_d"], r["rows_scanned"])
+         for r in ks_by_partition(seq_n, "source", "n_tok", bounded=True,
+                                  include_rows=True).collect()}
+    assert e.keys() == g.keys()
+    for k in e:
+        assert e[k] == g[k][0], k
+        assert g[k][1] == raw_rows[k], k
+
+
+def test_materialize_counts_match_sequential(spark, seq):
+    """CheckResult.materialize() (parallel counts after eager cache
+    materialization) must agree with plain sequential counts."""
+    allowed = sorted({r["source"] for r in seq.select("source").distinct()
+                     .collect() if r["source"] != BAD_SOURCE})
+    res = run_checks(seq, default_suite(allowed))
+    n_v, n_viol = res.materialize()
+    assert n_v == res.verdicts.count()
+    assert n_viol == res.violations.count()
+    res.unpersist()
+
+
 def test_results_invariant_under_shuffle_partitioning(spark, seq):
     """Distributed-correctness property: verdicts must be identical at any
     shuffle-partition count (hash/order-sensitivity bugs surface here)."""
