@@ -236,9 +236,14 @@ def _q_seq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_seq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample KS D of per-partition n_tok distribution vs baseline."""
+    """Two-sample KS D of per-partition n_tok distribution vs baseline.
+
+    ``bounded=True``: n_tok is structurally capped by the context size, so
+    this runs the fully-lazy single-plan route (no cardinality-guard job,
+    no grid self-join) — the oracle still computes the dense-grid max,
+    pinning the left/right-limit candidate formulation against it."""
     seq = load_sequences(spark, sf_dir)
-    return ks_by_partition(seq, "source", "n_tok") \
+    return ks_by_partition(seq, "source", "n_tok", bounded=True) \
         .select("partition_id", F.round("ks_d", 6).alias("ks_d"))
 
 

@@ -221,3 +221,20 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS seq_b1")
         spark.sql("DROP TABLE IF EXISTS seq_b2")
+
+
+def test_bounded_ks_plan_two_pruned_scans_no_grid(spark, sf_dir):
+    """The bounded single-plan KS route must keep its audited shape: exactly
+    two parquet scans (the base-CDF side pruned to the value column only),
+    no dense-grid nested-loop join, and the only single-partition window
+    over the tiny distinct-values frame. A regression back to the grid
+    formulation (extra scans, BroadcastNestedLoopJoin) fails here."""
+    from pyanomalydetector_spark.checks.drift import ks_by_partition
+    seq = load_sequences(spark, sf_dir)
+    out = ks_by_partition(seq, "source", "n_tok", bounded=True,
+                          include_rows=True)
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 2, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    # base side reads only the value column
+    assert "struct<n_tok:int>" in plan, plan[:3000]
