@@ -231,6 +231,40 @@ def test_ks_bounded_single_plan_equals_grid(spark, seq):
         assert g[k][1] == raw_rows[k], k
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_ks_bounded_matches_numpy_ecdf(spark, seed):
+    """Semantic pin, independent of the grid implementation: the bounded KS
+    statistic equals the textbook two-sample KS-D — max over the combined
+    support of |ECDF_partition − ECDF_pooled| — computed with numpy on
+    deterministic hash-synthesized fixtures (varying partition counts,
+    duplicated values, integer supports with gaps)."""
+    import hashlib
+    import numpy as np
+    from pyanomalydetector_spark.checks.drift import ks_by_partition
+
+    def h(i: int) -> int:
+        return int.from_bytes(
+            hashlib.md5(f"{seed}:{i}".encode()).digest()[:4], "big")
+
+    n = 400 + seed * 137
+    rows = [(f"p{h(i) % (2 + seed)}", (h(i) >> 8) % (5 + 7 * seed))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "source string, n_tok int")
+
+    got = {r["partition_id"]: r["ks_d"]
+           for r in ks_by_partition(df, "source", "n_tok",
+                                    bounded=True).collect()}
+
+    pooled = np.sort(np.array([v for _, v in rows], dtype=float))
+    support = np.unique(pooled)
+    cdf_b = np.searchsorted(pooled, support, side="right") / len(pooled)
+    for part in {p for p, _ in rows}:
+        xs = np.sort(np.array([v for p, v in rows if p == part], dtype=float))
+        cdf_p = np.searchsorted(xs, support, side="right") / len(xs)
+        want = float(np.max(np.abs(cdf_p - cdf_b)))
+        assert got[part] == pytest.approx(want, abs=1e-12), (part, seed)
+
+
 def test_materialize_counts_match_sequential(spark, seq):
     """CheckResult.materialize() (parallel counts after eager cache
     materialization) must agree with plain sequential counts."""
