@@ -370,21 +370,15 @@ def _check_n_tok_consistency(df: DataFrame, check: Check, pcol: str) -> CheckRes
     return CheckResult(_finish_verdicts(verdicts), _finish_violations(viol))
 
 
-def _check_token_invariant(df: DataFrame, check: Check, pcol: str) -> CheckResult:
-    """Token-array byte-equality vs a trusted snapshot DataFrame.
+def _token_digest_rollup(df: DataFrame, expected_df: DataFrame,
+                         pcol: str) -> DataFrame:
+    """Lazy digest rollup for the token-invariant check: one scan per side,
+    digests-only shuffles, per-partition (rows_scanned, candidate list).
 
-    Scale discipline (same as ``exact_duplicate_groups``, dedup.py:56-80):
-    only scan-side digests ``(doc_id, xxhash64(tokens), size(tokens))`` —
-    ~24 bytes/row — ever cross a shuffle; the token payload itself is NEVER
-    shuffled (at 100 TB the old payload-carrying join moved ~2× the corpus
-    over the wire to find a handful of mismatches). Digest-mismatch
-    candidates (a tiny set) are exact-confirmed by re-scanning BOTH sides
-    through broadcast joins on the candidate keys, so a flagged row is always
-    verified against the actual arrays (xxhash64 collisions can't produce
-    false positives; pinned by tests/test_explain_plans.py's no-tokens-
-    below-shuffle gate).
+    Kept as its own function so tests/test_explain_plans.py can gate the
+    plan of the frame that actually shuffles (the check checkpoints it
+    eagerly, which hides its Exchanges from the consumer frames' plans).
     """
-    expected_df: DataFrame = check.params["expected"]
     # snapshot side: deterministic min-digest per doc (a snapshot with
     # conflicting duplicate doc_ids is ill-defined; min is stable)
     exp = expected_df.groupBy("doc_id").agg(
@@ -403,7 +397,6 @@ def _check_token_invariant(df: DataFrame, check: Check, pcol: str) -> CheckResul
         F.min(F.size("tokens")).alias("_obs_len_min"),
         F.max(F.size("tokens")).alias("_obs_len"),
     )
-
     mismatch = (
         F.col("_exp_hash").isNull()
         | (F.col("_obs_hash") != F.col("_exp_hash"))
@@ -411,13 +404,57 @@ def _check_token_invariant(df: DataFrame, check: Check, pcol: str) -> CheckResul
         | (F.col("_obs_len") != F.col("_exp_len"))
         | (F.col("_obs_len_min") != F.col("_exp_len"))
     )
-    cand = obs.join(exp, "doc_id", "left").filter(mismatch)
+    return obs.join(exp, "doc_id", "left") \
+        .groupBy(F.col(pcol).alias("partition_id")).agg(
+            F.count(F.lit(1)).alias("rows_scanned"),
+            # collect_list drops NULLs → only mismatch candidates collected
+            F.collect_list(F.when(mismatch, F.struct(
+                F.col("doc_id").alias("d"),
+                F.col("_obs_hash").alias("oh"),
+                F.col("_exp_hash").alias("eh")))).alias("_cands"),
+        )
+
+
+def _check_token_invariant(df: DataFrame, check: Check, pcol: str) -> CheckResult:
+    """Token-array byte-equality vs a trusted snapshot DataFrame.
+
+    Scale discipline (same as ``exact_duplicate_groups``, dedup.py:56-80):
+    only scan-side digests ``(doc_id, xxhash64(tokens), size(tokens))`` —
+    ~24 bytes/row — ever cross a shuffle; the token payload itself is NEVER
+    shuffled (at 100 TB the old payload-carrying join moved ~2× the corpus
+    over the wire to find a handful of mismatches). Digest-mismatch
+    candidates (a tiny set) are exact-confirmed by re-scanning BOTH sides
+    through broadcast joins on the candidate keys, so a flagged row is always
+    verified against the actual arrays (xxhash64 collisions can't produce
+    false positives; pinned by tests/test_explain_plans.py's no-tokens-
+    below-shuffle gate).
+
+    Scan budget: BOTH sides are scanned exactly once to build the digest
+    rollup (the per-partition frame embeds the candidate list via the
+    conditional-collect idiom — same shape as ``_check_unique`` — and is
+    localCheckpointed for its consumers), plus one candidate-gated confirm
+    scan per side (checkpointed once; when the candidate set is empty AQE
+    propagates the empty broadcast and the confirm scans never execute).
+    The previous formulation re-embedded the digest subtree into every
+    output branch — 8 full scans per materialization of both frames.
+    """
+    expected_df: DataFrame = check.params["expected"]
+    # ONE pass over the digest join: per-partition row counts AND the
+    # digest-mismatch candidate list (bounded by #corruptions) come out of
+    # the same tiny rollup, checkpointed for every downstream consumer.
+    # (_token_digest_rollup is separate so the no-tokens-below-shuffle plan
+    # gate can inspect the LAZY rollup plan — the checkpoint here executes
+    # it before any consumer plan is built.)
+    per_part = _token_digest_rollup(df, expected_df, pcol).localCheckpoint()
+    cand = per_part.select("partition_id", F.explode("_cands").alias("c")) \
+        .select("partition_id", F.col("c.d").alias("doc_id"),
+                F.col("c.oh").alias("_obs_hash"), F.col("c.eh").alias("_exp_hash"))
 
     # exact confirm: re-scan ONLY candidate rows, keys broadcast to the
     # scans. EVERY copy of a candidate doc is compared (no dedup on the
     # observed side): a doc is bad iff ANY of its rows differs from the
     # snapshot array.
-    keys = cand.select("doc_id")
+    keys = cand.select("doc_id").distinct()
     obs_tok = df.join(F.broadcast(keys), "doc_id").select("doc_id", "tokens")
     exp_tok = expected_df.join(F.broadcast(keys), "doc_id") \
                          .groupBy("doc_id") \
@@ -427,26 +464,28 @@ def _check_token_invariant(df: DataFrame, check: Check, pcol: str) -> CheckResul
         .filter(F.col("_exp_tokens").isNull()
                 | (F.col("tokens") != F.col("_exp_tokens"))) \
         .select("doc_id").distinct()
-    bad = cand.join(F.broadcast(confirmed), "doc_id", "left_semi")
+    # tiny (O(#confirmed corruptions)); checkpointed so the verdict and
+    # violation frames don't each re-run the confirm scans
+    bad = cand.join(F.broadcast(confirmed), "doc_id", "left_semi") \
+              .localCheckpoint()
 
-    rows = obs.groupBy(F.col(pcol).alias("partition_id")).agg(
-        F.count(F.lit(1)).alias("rows_scanned"))
-    n_bad = bad.groupBy(F.col(pcol).alias("partition_id")).agg(
+    n_bad = bad.groupBy("partition_id").agg(
         F.count(F.lit(1)).alias("n_bad"))
-    per_part = rows.join(n_bad, "partition_id", "left") \
-                   .withColumn("n_bad", F.coalesce("n_bad", F.lit(0)))
-    verdicts = per_part.select(
-        "partition_id",
-        F.lit(check.check_id).alias("check_id"),
-        (F.col("n_bad") == 0).alias("passed"),
-        F.col("n_bad").cast("double").alias("observed"),
-        F.lit(0.0).alias("expected"),
-        F.lit(0.0).alias("threshold"),
-        F.col("n_bad").alias("n_violations"),
-        F.col("rows_scanned"),
-    )
+    verdicts = per_part.select("partition_id", "rows_scanned") \
+        .join(n_bad, "partition_id", "left") \
+        .withColumn("n_bad", F.coalesce("n_bad", F.lit(0))) \
+        .select(
+            "partition_id",
+            F.lit(check.check_id).alias("check_id"),
+            (F.col("n_bad") == 0).alias("passed"),
+            F.col("n_bad").cast("double").alias("observed"),
+            F.lit(0.0).alias("expected"),
+            F.lit(0.0).alias("threshold"),
+            F.col("n_bad").alias("n_violations"),
+            F.col("rows_scanned"),
+        )
     viol = bad.select(
-        F.col(pcol).alias("partition_id"),
+        F.col("partition_id"),
         F.lit(check.check_id).alias("check_id"),
         F.col("doc_id"),
         F.col("_obs_hash").cast("string").alias("observed"),

@@ -81,9 +81,9 @@ def test_token_invariant_no_payload_below_shuffle(spark, sf_dir):
     no tokens attribute may appear in the output of any shuffle Exchange.
     Broadcast exchanges (the tiny exact-confirm candidate set) are exempt —
     that's the point of the digest-then-confirm design."""
-    from pyanomalydetector_spark.checks.core import Check, run_checks
+    from pyanomalydetector_spark.checks.core import (
+        Check, run_checks, _token_digest_rollup)
     seq = load_sequences(spark, sf_dir)
-    res = run_checks(seq, [Check("tok", "token_invariant", {"expected": seq})])
 
     def shuffle_outputs(jplan, out):
         if jplan.nodeName() == "Exchange":        # ShuffleExchangeExec
@@ -93,15 +93,28 @@ def test_token_invariant_no_payload_below_shuffle(spark, sf_dir):
             shuffle_outputs(jplan.children().apply(i), out)
         return out
 
-    for df in (res.verdicts, res.violations):
+    def exchanges_of(df):
         # executedPlan has the Exchanges (EnsureRequirements has run); unwrap
         # the AQE node to its initial physical plan
         jplan = df._jdf.queryExecution().executedPlan()
         if jplan.nodeName().startswith("AdaptiveSparkPlan"):
             jplan = jplan.initialPlan()
-        exchanges = shuffle_outputs(jplan, [])
-        assert exchanges
-        for cols in exchanges:
+        return shuffle_outputs(jplan, [])
+
+    # the digest rollup is where the full-table shuffles live (the check
+    # localCheckpoints it, hiding its Exchanges from the consumer frames) —
+    # gate its LAZY plan: shuffles exist and none carries the token payload
+    rollup = _token_digest_rollup(seq, seq, "source")
+    exchanges = exchanges_of(rollup)
+    assert exchanges
+    for cols in exchanges:
+        assert not any("tokens" in c.lower() for c in cols), cols
+
+    # consumer frames read the checkpointed rollup; whatever residual
+    # shuffles they have must be payload-free too
+    res = run_checks(seq, [Check("tok", "token_invariant", {"expected": seq})])
+    for df in (res.verdicts, res.violations):
+        for cols in exchanges_of(df):
             assert not any("tokens" in c.lower() for c in cols), cols
 
 

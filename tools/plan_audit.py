@@ -155,13 +155,12 @@ def main() -> None:
         "  aggregate (e.g. PSI's partition histogram, minhash's candidate",
         "  shingle frame): the underlying file is read ONCE when the cache",
         "  builds; downstream branches replay the cache, not the scan.",
-        "- seq_token_invariant's 4 SortAggregate nodes are the exact-confirm",
-        "  dedups over the CANDIDATE set only (token arrays in the agg buffer",
-        "  are not hash-aggregable); the full-table digest pass is pure",
-        "  HashAggregate + 24-byte shuffles.",
-        "- seq_unique_violations shows 0 shuffles because its single-shuffle",
-        "  aggregate materializes at plan-build time (localCheckpoint — the",
-        "  counts rollup feeds both verdicts and violations exactly once).",
+        "- seq_token_invariant and seq_unique_violations show near-zero",
+        "  shuffles because their single digest/counts rollup materializes",
+        "  at plan-build time (localCheckpoint) and feeds every consumer",
+        "  exactly once; the rollup's own plan (one pruned scan per side,",
+        "  digests-only 24-byte shuffles, pure HashAggregate, exact-confirm",
+        "  gated to candidates) is gated in tests/test_explain_plans.py.",
         "- jdbc_rollup's scan is a JDBCRelation with the clock range pushed",
         "  into the database (see tests/test_jdbc_source.py for the starred",
         "  PushedFilters assertions).",
