@@ -251,3 +251,28 @@ def test_bounded_ks_plan_two_pruned_scans_no_grid(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     # base side reads only the value column
     assert "struct<n_tok:int>" in plan, plan[:3000]
+
+
+def test_unique_rollup_reuses_counts_exchange(spark, sf_dir):
+    """The unique check's scalar rollup and duplicate-list branches must
+    share ONE counts exchange (ReusedExchange after execution): the split
+    keeps the big per-key pass whole-stage-codegen while the collect_list
+    object aggregate only sees cnt>1 rows. The join must stay NULL-SAFE —
+    a plain equi-join lets Catalyst infer isnotnull(partition_id) on the
+    dup branch only, silently de-duplicating nothing and re-running the
+    corpus-sized shuffle twice."""
+    from pyanomalydetector_spark.checks.core import _unique_per_part
+    seq = load_sequences(spark, sf_dir)
+    pp = _unique_per_part(seq, "doc_id", "source")
+    pp.collect()            # reuse materializes via AQE stage dedup
+    plan = _plan(pp)
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[:3000]
+    # the wide (partition, key) exchange must appear as ONE live stage:
+    # scan count proves it — one parquet read for both branches
+    assert plan.split("== Initial Plan ==")[0].count("Scan parquet") == 1, \
+        plan[:3000]
+    # scalar branch must not fall back to object/sort aggregation
+    head = plan.split("== Initial Plan ==")[0]
+    for line in head.splitlines():
+        if "ObjectHashAggregate" in line:
+            assert "collect_list" in line, line
