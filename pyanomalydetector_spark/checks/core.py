@@ -46,7 +46,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Iterable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType, DoubleType, LongType, StringType, StructField, StructType,
@@ -218,7 +218,9 @@ def _check_zscore_threshold(df: DataFrame, check: Check, pcol: str) -> CheckResu
 
     failing = j.filter(fail).select("partition_id", "mean_t", "std_t")
     viol = (
-        df.join(F.broadcast(failing), df[pcol] == failing["partition_id"])
+        # NULL-SAFE: a failing NULL partition's rows must still emit
+        # violations (plain equality would silently drop them)
+        df.join(F.broadcast(failing), df[pcol].eqNullSafe(failing["partition_id"]))
           .filter(F.abs(F.col(value_col) - F.col("mean_t")) > lam * F.col("std_t"))
           .select(
               F.col("partition_id"),
@@ -234,9 +236,18 @@ def _check_zscore_threshold(df: DataFrame, check: Check, pcol: str) -> CheckResu
 
 
 def _unique_per_part(df: DataFrame, key: str, pcol: str,
-                     salt_buckets: int = 0) -> DataFrame:
+                     salt_buckets: int = 0,
+                     max_dup_emit: int = 100_000) -> DataFrame:
     """Lazy per-partition uniqueness rollup: ``(partition_id, n_keys,
     n_dup_keys, rows_scanned, _dups)``.
+
+    ``n_dup_keys`` (the verdict count) is always EXACT; ``_dups`` — the
+    emitted duplicate list — is capped at ``max_dup_emit`` entries per
+    partition (worst offenders first: highest copy-count, then key order).
+    Web-scale corpora run 30-50 % duplicate keys, so an uncapped per-
+    partition array would hold millions of structs in one aggregation
+    buffer / checkpointed row; the cap bounds memory while the verdict
+    still reports the true violation count.
 
     Kept as its own function so the plan gate in tests/test_explain_plans.py
     can assert the counts-exchange reuse on the LAZY plan (the check
@@ -270,7 +281,15 @@ def _unique_per_part(df: DataFrame, key: str, pcol: str,
         F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup_keys"),
         F.sum("cnt").alias("rows_scanned"),
     )
-    dup_lists = counts.filter(F.col("cnt") > 1).groupBy(
+    dup_rows = counts.filter(F.col("cnt") > 1)
+    # bound the per-partition array: rank duplicates (worst first — the
+    # window shuffles only the cnt>1 rows, not the corpus) and keep the
+    # top max_dup_emit; determinism via the (cnt desc, key) order
+    w_rank = Window.partitionBy("partition_id") \
+                   .orderBy(F.col("cnt").desc(), F.col(key))
+    dup_rows = dup_rows.withColumn("_rn", F.row_number().over(w_rank)) \
+                       .filter(F.col("_rn") <= max_dup_emit).drop("_rn")
+    dup_lists = dup_rows.groupBy(
         F.col("partition_id").alias("_dp")).agg(
         F.collect_list(F.struct(F.col(key).alias("k"),
                                 F.col("cnt").alias("c"))).alias("_dups"))
@@ -306,8 +325,13 @@ def _check_unique(df: DataFrame, check: Check, pcol: str) -> CheckResult:
     """
     key = check.params.get("key", "doc_id")
     salt_buckets = int(check.params.get("salt_buckets", 0))
-    # tiny (O(partitions + violations)); checkpointed for the two consumers
-    per_part = _unique_per_part(df, key, pcol, salt_buckets).localCheckpoint()
+    # ``max_dup_emit``: per-partition cap on EMITTED duplicate rows (the
+    # verdict's n_violations stays exact; see _unique_per_part)
+    max_dup_emit = int(check.params.get("max_dup_emit", 100_000))
+    # tiny (O(partitions + min(violations, cap))); checkpointed for the two
+    # consumers
+    per_part = _unique_per_part(df, key, pcol, salt_buckets,
+                                max_dup_emit).localCheckpoint()
 
     dups = per_part.select(
         "partition_id", F.explode("_dups").alias("d")
@@ -345,9 +369,14 @@ def _check_referential(df: DataFrame, check: Check, pcol: str) -> CheckResult:
     viol_rows = df.join(F.broadcast(dim), on=column, how="left_anti")
     per_part = df.groupBy(F.col(pcol).alias("partition_id")).agg(
         F.count(F.lit(1)).alias("rows_scanned"))
-    bad_per_part = viol_rows.groupBy(F.col(pcol).alias("partition_id")) \
+    bad_per_part = viol_rows.groupBy(F.col(pcol).alias("_bp")) \
                             .agg(F.count(F.lit(1)).alias("n_bad"))
-    verdicts = per_part.join(bad_per_part, "partition_id", "left") \
+    # NULL-SAFE: a NULL partition's bad-row count must attach to its verdict
+    # (plain equality would fill 0 and report a false pass)
+    verdicts = per_part.join(
+            bad_per_part,
+            per_part["partition_id"].eqNullSafe(bad_per_part["_bp"]), "left") \
+        .drop("_bp") \
         .na.fill({"n_bad": 0}) \
         .select(
             "partition_id",
@@ -396,14 +425,17 @@ def _check_n_tok_consistency(df: DataFrame, check: Check, pcol: str) -> CheckRes
     return CheckResult(_finish_verdicts(verdicts), _finish_violations(viol))
 
 
-def _token_digest_rollup(df: DataFrame, expected_df: DataFrame,
-                         pcol: str) -> DataFrame:
-    """Lazy digest rollup for the token-invariant check: one scan per side,
-    digests-only shuffles, per-partition (rows_scanned, candidate list).
+def _token_digest_join(df: DataFrame, expected_df: DataFrame,
+                       pcol: str) -> tuple[DataFrame, Column]:
+    """The token-invariant's shared lazy digest frame: one scan per side,
+    digests-only shuffles, one row per (partition, doc_id) with both sides'
+    (hash, length) digests. Returns ``(joined, mismatch)`` where ``mismatch``
+    is the violation predicate over the frame.
 
-    Kept as its own function so tests/test_explain_plans.py can gate the
-    plan of the frame that actually shuffles (the check checkpoints it
-    eagerly, which hides its Exchanges from the consumer frames' plans).
+    A digest mismatch PROVES the arrays differ (unequal hashes / lengths ⇒
+    unequal bytes) — no exact-confirm rescan is needed; xxhash64 collisions
+    can only produce false *negatives* (a missed corruption), which no
+    candidate rescan could recover either.
     """
     # snapshot side: deterministic min-digest per doc (a snapshot with
     # conflicting duplicate doc_ids is ill-defined; min is stable)
@@ -430,15 +462,22 @@ def _token_digest_rollup(df: DataFrame, expected_df: DataFrame,
         | (F.col("_obs_len") != F.col("_exp_len"))
         | (F.col("_obs_len_min") != F.col("_exp_len"))
     )
-    return obs.join(exp, "doc_id", "left") \
-        .groupBy(F.col(pcol).alias("partition_id")).agg(
-            F.count(F.lit(1)).alias("rows_scanned"),
-            # collect_list drops NULLs → only mismatch candidates collected
-            F.collect_list(F.when(mismatch, F.struct(
-                F.col("doc_id").alias("d"),
-                F.col("_obs_hash").alias("oh"),
-                F.col("_exp_hash").alias("eh")))).alias("_cands"),
-        )
+    return obs.join(exp, "doc_id", "left"), mismatch
+
+
+def _token_digest_rollup(df: DataFrame, expected_df: DataFrame,
+                         pcol: str) -> DataFrame:
+    """Lazy scalar digest rollup: ``(partition_id, rows_scanned, n_bad)``.
+
+    Kept as its own function so tests/test_explain_plans.py can gate the
+    plan of the frame that actually shuffles (the check checkpoints it
+    eagerly, which hides its Exchanges from the consumer frames' plans).
+    """
+    joined, mismatch = _token_digest_join(df, expected_df, pcol)
+    return joined.groupBy(F.col(pcol).alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.when(mismatch, 1).otherwise(0)).alias("n_bad"),
+    )
 
 
 def _check_token_invariant(df: DataFrame, check: Check, pcol: str) -> CheckResult:
@@ -448,70 +487,45 @@ def _check_token_invariant(df: DataFrame, check: Check, pcol: str) -> CheckResul
     only scan-side digests ``(doc_id, xxhash64(tokens), size(tokens))`` —
     ~24 bytes/row — ever cross a shuffle; the token payload itself is NEVER
     shuffled (at 100 TB the old payload-carrying join moved ~2× the corpus
-    over the wire to find a handful of mismatches). Digest-mismatch
-    candidates (a tiny set) are exact-confirmed by re-scanning BOTH sides
-    through broadcast joins on the candidate keys, so a flagged row is always
-    verified against the actual arrays (xxhash64 collisions can't produce
-    false positives; pinned by tests/test_explain_plans.py's no-tokens-
-    below-shuffle gate).
+    over the wire to find a handful of mismatches). A digest mismatch is
+    *proof* of a byte difference (see :func:`_token_digest_join`), so
+    verdicts come straight from the scalar rollup.
 
-    Scan budget: BOTH sides are scanned exactly once to build the digest
-    rollup (the per-partition frame embeds the candidate list via the
-    conditional-collect idiom — same shape as ``_check_unique`` — and is
-    localCheckpointed for its consumers), plus one candidate-gated confirm
-    scan per side (checkpointed once; when the candidate set is empty AQE
-    propagates the empty broadcast and the confirm scans never execute).
-    The previous formulation re-embedded the digest subtree into every
-    output branch — 8 full scans per materialization of both frames.
+    Scan budget and memory: the clean case (every deployment's steady
+    state) is exactly one pruned scan per side — the scalar rollup — and
+    the violations frame is provably empty without running anything (the
+    probe reads the checkpointed O(#partitions) rollup). Only when some
+    partition actually has mismatches is the digest join re-derived and
+    filtered to emit violation ROWS — a lazy distributed frame, so a
+    heavily divergent snapshot (millions of mismatches) streams through
+    executors instead of materializing per-partition candidate arrays or
+    driver-bounded broadcasts; nothing in the dirty path assumes the
+    violation set is small.
     """
     expected_df: DataFrame = check.params["expected"]
-    # ONE pass over the digest join: per-partition row counts AND the
-    # digest-mismatch candidate list (bounded by #corruptions) come out of
-    # the same tiny rollup, checkpointed for every downstream consumer.
     # (_token_digest_rollup is separate so the no-tokens-below-shuffle plan
     # gate can inspect the LAZY rollup plan — the checkpoint here executes
     # it before any consumer plan is built.)
     per_part = _token_digest_rollup(df, expected_df, pcol).localCheckpoint()
-    cand = per_part.select("partition_id", F.explode("_cands").alias("c")) \
-        .select("partition_id", F.col("c.d").alias("doc_id"),
-                F.col("c.oh").alias("_obs_hash"), F.col("c.eh").alias("_exp_hash"))
+    verdicts = per_part.select(
+        "partition_id",
+        F.lit(check.check_id).alias("check_id"),
+        (F.col("n_bad") == 0).alias("passed"),
+        F.col("n_bad").cast("double").alias("observed"),
+        F.lit(0.0).alias("expected"),
+        F.lit(0.0).alias("threshold"),
+        F.col("n_bad").alias("n_violations"),
+        F.col("rows_scanned"),
+    )
 
-    # exact confirm: re-scan ONLY candidate rows, keys broadcast to the
-    # scans. EVERY copy of a candidate doc is compared (no dedup on the
-    # observed side): a doc is bad iff ANY of its rows differs from the
-    # snapshot array.
-    keys = cand.select("doc_id").distinct()
-    obs_tok = df.join(F.broadcast(keys), "doc_id").select("doc_id", "tokens")
-    exp_tok = expected_df.join(F.broadcast(keys), "doc_id") \
-                         .groupBy("doc_id") \
-                         .agg(F.min_by("tokens", F.xxhash64("tokens"))
-                               .alias("_exp_tokens"))
-    confirmed = obs_tok.join(F.broadcast(exp_tok), "doc_id", "left") \
-        .filter(F.col("_exp_tokens").isNull()
-                | (F.col("tokens") != F.col("_exp_tokens"))) \
-        .select("doc_id").distinct()
-    # tiny (O(#confirmed corruptions)); checkpointed so the verdict and
-    # violation frames don't each re-run the confirm scans
-    bad = cand.join(F.broadcast(confirmed), "doc_id", "left_semi") \
-              .localCheckpoint()
+    if per_part.filter(F.col("n_bad") > 0).isEmpty():
+        # clean corpus: zero extra scans, provably no violations
+        viol = _empty(df.sparkSession, VIOLATION_SCHEMA)
+        return CheckResult(_finish_verdicts(verdicts), viol)
 
-    n_bad = bad.groupBy("partition_id").agg(
-        F.count(F.lit(1)).alias("n_bad"))
-    verdicts = per_part.select("partition_id", "rows_scanned") \
-        .join(n_bad, "partition_id", "left") \
-        .withColumn("n_bad", F.coalesce("n_bad", F.lit(0))) \
-        .select(
-            "partition_id",
-            F.lit(check.check_id).alias("check_id"),
-            (F.col("n_bad") == 0).alias("passed"),
-            F.col("n_bad").cast("double").alias("observed"),
-            F.lit(0.0).alias("expected"),
-            F.lit(0.0).alias("threshold"),
-            F.col("n_bad").alias("n_violations"),
-            F.col("rows_scanned"),
-        )
-    viol = bad.select(
-        F.col("partition_id"),
+    joined, mismatch = _token_digest_join(df, expected_df, pcol)
+    viol = joined.filter(mismatch).select(
+        F.col(pcol).alias("partition_id"),
         F.lit(check.check_id).alias("check_id"),
         F.col("doc_id"),
         F.col("_obs_hash").cast("string").alias("observed"),
@@ -564,7 +578,11 @@ def _check_drift(df: DataFrame, check: Check, pcol: str, stat: str) -> CheckResu
         obs = "ks_d"
 
     if "rows_scanned" not in scored.columns:
-        scored = scored.join(_rows_per_partition(df, pcol), "partition_id")
+        # NULL-SAFE: keep the NULL partition's verdict row
+        rows = _rows_per_partition(df, pcol).withColumnRenamed(
+            "partition_id", "_rp")
+        scored = scored.join(
+            rows, scored["partition_id"].eqNullSafe(rows["_rp"])).drop("_rp")
     verdicts = scored.select(
         "partition_id",
         F.lit(check.check_id).alias("check_id"),

@@ -20,6 +20,25 @@ from pyspark.sql import functions as F
 PSI_SMOOTH = 0.5  # Laplace smoothing added to every bucket count
 
 
+def _pid_nullsafe_join(left: DataFrame, right: DataFrame, key2: str | None,
+                       how: str = "left") -> DataFrame:
+    """Join on ``partition_id`` NULL-SAFELY (plus a plain equality on
+    ``key2`` when given), keeping ``left``'s columns first.
+
+    A plain equi-join on partition_id never matches NULL = NULL, so a NULL
+    partition key — exactly the dirty group key a quality engine must still
+    score — would silently read as zero counts (grid joins) or drop its
+    verdict row (result joins). ``key2`` (bucket/value) stays plain: a NULL
+    value carries no probability mass by design, and buckets are never NULL.
+    """
+    r = right.withColumnRenamed("partition_id", "_rp")
+    cond = left["partition_id"].eqNullSafe(F.col("_rp"))
+    if key2 is not None:
+        r = r.withColumnRenamed(key2, "_rk")
+        cond = cond & (left[key2] == F.col("_rk"))
+    return left.join(r, cond, how).drop("_rp", *(["_rk"] if key2 else []))
+
+
 def _bucket_expr(value: Column, lo, hi, n_buckets: int) -> Column:
     """Fixed-width bucket index over [lo, hi] with edge clamping — the ONE
     definition every PSI path (self-baseline, explicit-baseline,
@@ -134,7 +153,7 @@ def _psi_finish(spark, parts: DataFrame, part_counts: DataFrame,
         spark.range(n_buckets).select(F.col("id").alias("bucket")))
 
     joined = (
-        grid.join(part_counts, ["partition_id", "bucket"], "left")
+        _pid_nullsafe_join(grid, part_counts, "bucket")
             .join(F.broadcast(base_counts), ["bucket"], "left")
             .crossJoin(F.broadcast(base_total))
             .na.fill({"c_p": 0, "c_b": 0})
@@ -310,7 +329,7 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
     grid = parts.crossJoin(values)
 
     joined = (
-        grid.join(part_counts, ["partition_id", "v"], "left")
+        _pid_nullsafe_join(grid, part_counts, "v")
             .join(F.broadcast(base_counts), ["v"], "left")
             .na.fill({"c_p": 0, "c_b": 0})
     )
@@ -328,7 +347,7 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
               .agg(F.max("d").alias("ks_d"))
     )
     if rows is not None:
-        out = out.join(rows, "partition_id")
+        out = _pid_nullsafe_join(out, rows, None, "inner")
     return out
 
 
@@ -456,7 +475,7 @@ def ks_by_partition_counts(df: DataFrame, partition_col: str, value_col: str,
           .groupBy("partition_id", "v").agg(F.count(F.lit(1)).alias("c_p"))
     )
     joined = (
-        grid.join(part_counts, ["partition_id", "v"], "left")
+        _pid_nullsafe_join(grid, part_counts, "v")
             .join(F.broadcast(base_counts), ["v"], "left")
             .na.fill({"c_p": 0, "c_b": 0})
     )

@@ -325,9 +325,11 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
     if viol_entries:
         viol_src = df
         for frame, keycol in viol_joins:
+            # NULL-SAFE: a failing NULL partition's rows must still pick up
+            # their z-thresholds (plain equality would drop its violations)
             viol_src = viol_src.join(
                 F.broadcast(frame),
-                F.col(pcol) == F.col(keycol), "left").drop(keycol)
+                F.col(pcol).eqNullSafe(F.col(keycol)), "left").drop(keycol)
         structs = F.array(*[
             F.when(cond, F.struct(
                 F.lit(cid).alias("check_id"),

@@ -142,7 +142,9 @@ def _detect3_pred(tag: str, hist_count: int, hist_count2: int,
            (F.col(f"peak_up{tag}") < F.col("mean_recent"))
     b_dw = (F.col(f"cnt_dw_b{tag}") / F.lit(float(hist_count2)) > rate) & \
            (F.col(f"peak_dw{tag}") > F.col("mean_recent"))
-    return stage_a | (~stage_a & (_nvl(b_up) | _nvl(b_dw)))
+    # staged semantics are "stage A, else stage B" — a plain union once the
+    # terms are null-safe booleans (A ∪ B)
+    return stage_a | _nvl(b_up) | _nvl(b_dw)
 
 
 def detect_cascade_fused(history_df: DataFrame, trends_df: DataFrame,
@@ -208,13 +210,17 @@ def detect_cascade_fused(history_df: DataFrame, trends_df: DataFrame,
         out: list[Column] = []
         if with_d1:
             # detect1's history mean via the same finalize arithmetic
-            # (try_divide + inf/NaN/NULL→0 scrub, stats.py:130-135)
+            # (try_divide + inf/NaN→0 scrub, stats.py:130-135). cnt==0
+            # (an item whose history values are all NULL) must stay NULL,
+            # not scrub to 0: finalize_mean_std drops cnt==0 rows, so the
+            # staged inner join excludes the item — the NULL propagates
+            # through the band predicate and _nvl drops it identically.
             s, c = F.sum(v), F.count(v)
             mean = F.try_divide(s, c.cast("double"))
-            out.append(
-                F.when(mean.isNull() | F.isnan(mean)
-                       | mean.isin(float("inf"), float("-inf")), F.lit(0.0))
-                 .otherwise(mean).alias("mean_h"))
+            scrubbed = F.when(F.isnan(mean)
+                              | mean.isin(float("inf"), float("-inf")),
+                              F.lit(0.0)).otherwise(mean)
+            out.append(F.when(c > 0, scrubbed).alias("mean_h"))
         if not (need_recent and with_rest):
             return out
         if 2 in stages:

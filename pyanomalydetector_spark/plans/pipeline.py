@@ -106,23 +106,23 @@ def detect_pipeline(spark: SparkSession, sf_dir: str,
               or cfg.strict_reference_detect1_guard)
     t_start = endep - cfg.trends_interval * cfg.trends_retention
     if fused and not strict and 4 in stages \
-            and t_start % cfg.trends_interval == 0:
+            and t_start % cfg.trends_interval == 0 \
+            and cfg.long_trends_retention >= cfg.trends_retention:
         # Shared-scan path: the short trends window is a bucket-aligned
         # subrange of the long one, so ONE rollup shuffle serves both — the
         # short env is a filter over the checkpointed long rollup (the
         # bucket grid is absolute, so filtered-long ≡ short exactly when
-        # t_start sits on a bucket boundary).
+        # t_start sits on a bucket boundary AND the long window actually
+        # covers the short one, i.e. long_trends_retention >=
+        # trends_retention; a shorter long window would silently truncate
+        # the short env to [t_start4, ...), so that config falls through
+        # to the two-rollup path below).
         from pyanomalydetector_spark.operators.cascade_fused import \
             detect_cascade_fused
-        h_start = endep - cfg.history_interval * cfg.history_retention
-        t_start4 = endep - cfg.trends_interval * cfg.long_trends_retention
-        src = metrics.filter((F.col("clock") >= t_start4)
-                             & (F.col("clock") < h_start))
-        long_trends = tumbling_rollup(src, cfg.trends_interval) \
-            .localCheckpoint()
+        long_trends, hist_count4, hist_count4_2 = \
+            long_trends_window(metrics, cfg, endep)
+        long_trends = long_trends.localCheckpoint()
         trends = long_trends.filter(F.col("clock") >= t_start)
-        hist_count4, hist_count4_2 = _grid_counts(
-            t_start4, endep, startep2, cfg.history_interval)
         return detect_cascade_fused(history, trends, history, cfg,
                                     hist_count, hist_count2, startep2,
                                     long_trends_df=long_trends,

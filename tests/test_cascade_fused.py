@@ -79,6 +79,56 @@ def test_pipeline_shared_scan_path_eq_staged(spark):
     assert fused == staged and len(fused) > 0
 
 
+def test_fused_eq_staged_all_null_history_values(spark):
+    """An item whose history-window values are ALL NULL must be excluded by
+    both paths: staged drops it (finalize_mean_std filters cnt==0 → inner
+    join), fused must keep mean_h NULL (scrubbing it to 0.0 would pass the
+    band + guard and fabricate a survivor)."""
+    cfg = DetectorConfig(detect1_lambda_threshold=1.0, ignore_diff_rate=0.05,
+                         trends_min_count=2)
+    endep = 1706659200
+    h_start = endep - cfg.history_interval * cfg.history_retention
+    t_start = endep - cfg.trends_interval * cfg.trends_retention
+    rows = []
+    for item, hist_val in [("nullv", None), ("anom", 500.0), ("calm", 100.0)]:
+        for d in range(10):
+            rows.append((item, t_start + d * cfg.trends_interval + 10,
+                         100.0 + (d % 3)))
+        for k in range(5):
+            rows.append((item, h_start + k * cfg.history_interval + 5,
+                         hist_val))
+    metrics = spark.createDataFrame(
+        rows, "itemid string, clock long, value double")
+    history, trends, hc, hc2, sp2 = split_windows(metrics, cfg, endep)
+    staged = detect_cascade(history, trends, history, cfg, hc, hc2, sp2,
+                            stages=(1,))
+    fused = detect_cascade_fused(history, trends, history, cfg, hc, hc2, sp2,
+                                 stages=(1,))
+    a = {r.itemid for r in staged.collect()}
+    b = {r.itemid for r in fused.collect()}
+    assert a == b
+    assert "anom" in a and "nullv" not in a
+
+
+def test_pipeline_long_window_shorter_than_trends(spark):
+    """long_trends_retention < trends_retention must NOT take the shared-scan
+    route (filtering the long rollup would truncate the short trends window
+    to [t_start4, ...)); the fused pipeline must still equal staged."""
+    cfg = DetectorConfig(detect1_lambda_threshold=1.0,
+                         detect2_lambda_threshold=1.0,
+                         detect3_lambda_threshold1=1.5,
+                         detect3_lambda_threshold2=1.0,
+                         ignore_diff_rate=0.01,
+                         anomaly_valid_count_rate=0.001,
+                         long_trends_retention=10)   # < trends_retention=27
+    sf = "/root/testdata/sf0.01"
+    fused = {r.itemid for r in
+             detect_pipeline(spark, sf, cfg, fused=True).collect()}
+    staged = {r.itemid for r in
+              detect_pipeline(spark, sf, cfg, fused=False).collect()}
+    assert fused == staged
+
+
 def test_strict_modes_fall_back_to_staged(spark, sf_dir):
     """Strict reference-quirk flags route through the staged implementation
     (the fused algebra intentionally models only the portable semantics)."""

@@ -319,3 +319,143 @@ def test_token_invariant_corrupted_duplicate_not_masked(spark):
     assert bad == {"d1"}
     v = res.verdicts.collect()[0]
     assert not v["passed"] and v["n_violations"] == 1
+
+
+_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def _null_partition_fixture(spark):
+    """A NULL partition key carrying one violation of every row-level kind:
+    exactly the dirty group key a quality engine must still score."""
+    return spark.createDataFrame(
+        [
+            ("a1", [1, 2], 2, "s1"),
+            ("a2", [3], 1, "s1"),
+            ("n1", [1, 2, 3], 3, None),
+            ("n1", [1, 2, 3], 3, None),      # duplicate doc_id
+            ("n2", [4, 5], 99, None),        # n_tok mismatch
+            ("n3", [6], 1, None),
+        ],
+        _SCHEMA)
+
+
+def test_null_partition_scored_not_dropped(spark):
+    """Every check must emit a verdict row for the NULL partition with
+    correct counts, and attribute its row-level violations to it — and the
+    fused path must agree with the per-check path on that fixture."""
+    df = _null_partition_fixture(spark)
+    suite = [
+        Check("uniq", "unique", {"key": "doc_id"}),
+        Check("ref", "referential", {"column": "source", "allowed": ["s1"]}),
+        Check("ntok", "n_tok_consistency", {}),
+        Check("z", "zscore_threshold",
+              {"value_col": "n_tok", "lambda": 0.5, "ignore_diff_rate": 0.0,
+               "baseline_scalars": {"mean": 2.0, "std": 1.0}}),
+        Check("psi", "drift_psi", {"value_col": "n_tok"}),
+        Check("ks", "drift_ks", {"value_col": "n_tok"}),
+    ]
+
+    def _key(t):
+        return tuple("" if x is None else str(x) for x in t)
+
+    def snap(res):
+        v = sorted(((r["partition_id"], r["check_id"], r["passed"],
+                     round(r["observed"], 9), r["n_violations"],
+                     r["rows_scanned"])
+                    for r in res.verdicts.collect()), key=_key)
+        w = sorted(((r["partition_id"], r["check_id"], r["doc_id"])
+                    for r in res.violations.collect()), key=_key)
+        return v, w
+
+    fused = snap(run_checks(df, suite, fuse=True))
+    percheck = snap(run_checks(df, suite, fuse=False))
+    assert fused == percheck
+
+    verdicts = {(r[0], r[1]): r for r in fused[0]}
+    # a verdict row exists for the NULL partition under every check
+    for cid in ("uniq", "ref", "ntok", "z", "psi", "ks"):
+        assert (None, cid) in verdicts, cid
+    # exact counts: 1 duplicate key, 4 referentially-bad rows, 1 n_tok bad
+    assert verdicts[(None, "uniq")][4] == 1
+    assert verdicts[(None, "ref")][4] == 4 and not verdicts[(None, "ref")][2]
+    assert verdicts[(None, "ntok")][4] == 1
+    # drift statistics are REAL numbers for the NULL partition (a plain
+    # equi-join in the grid would zero its counts into NaN/garbage)
+    import math
+    assert math.isfinite(verdicts[(None, "psi")][3])
+    assert math.isfinite(verdicts[(None, "ks")][3])
+    assert verdicts[(None, "ks")][5] == 4      # rows_scanned incl. NULL pid
+    # row-level violations attribute to the NULL partition
+    viols = fused[1]
+    assert (None, "uniq", "n1") in viols
+    assert (None, "ntok", "n2") in viols
+    assert {d for p, c, d in viols if c == "ref" and p is None} == \
+        {"n1", "n2", "n3"}
+    # zscore: every NULL-partition row deviates >0.5 from the pinned mean 2
+    assert {d for p, c, d in viols if c == "z" and p is None} == \
+        {"n1", "n2", "n3"}
+
+
+def test_bounded_ks_eq_grid_ks_with_null_partition(spark):
+    """bounded=True (single-plan) and bounded=False (grid) KS must agree —
+    including on a NULL partition key, which the window-based bounded route
+    groups natively and the grid route must not silently zero out."""
+    from pyanomalydetector_spark.checks.drift import ks_by_partition
+    df = _null_partition_fixture(spark)
+
+    def snap(bounded):
+        out = ks_by_partition(df, "source", "n_tok", bounded=bounded,
+                              include_rows=True)
+        return sorted(((r["partition_id"], round(r["ks_d"], 9),
+                        r["rows_scanned"]) for r in out.collect()),
+                      key=lambda t: ("" if t[0] is None else t[0],))
+
+    assert snap(True) == snap(False)
+    assert len(snap(True)) == 2        # s1 + the NULL partition
+
+
+def test_token_invariant_null_partition(spark):
+    df = _null_partition_fixture(spark)
+    snapshot = df.dropDuplicates(["doc_id"]).withColumn(
+        "tokens",
+        F.when(F.col("doc_id") == "n2", F.array(F.lit(-1)))
+         .otherwise(F.col("tokens")))
+    res = run_checks(df, [Check("tok", "token_invariant",
+                                {"expected": snapshot})])
+    verd = {r["partition_id"]: r for r in res.verdicts.collect()}
+    assert None in verd and not verd[None]["passed"]
+    assert verd[None]["n_violations"] == 1
+    assert verd["s1"]["passed"]
+    viols = [(r["partition_id"], r["doc_id"])
+             for r in res.violations.collect()]
+    assert viols == [(None, "n2")]
+
+
+def test_unique_max_dup_emit_caps_rows_not_verdict(spark):
+    """n_violations stays EXACT while the emitted duplicate rows are capped
+    at max_dup_emit per partition, worst (highest copy-count) first."""
+    rows = [(f"d{i}", [1], 1, "s") for i in range(5) for _ in range(i + 2)]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    res = run_checks(df, [Check("u", "unique",
+                                {"key": "doc_id", "max_dup_emit": 2})])
+    v = res.verdicts.collect()[0]
+    assert not v["passed"] and v["n_violations"] == 5
+    viols = res.violations.collect()
+    assert len(viols) == 2
+    # d4 has 6 copies, d3 has 5 — the worst offenders are the ones emitted
+    assert {r["doc_id"] for r in viols} == {"d4", "d3"}
+
+
+def test_token_invariant_heavy_divergence_exact_counts(spark):
+    """A wildly divergent snapshot (EVERY doc mismatching) must produce
+    exact per-partition counts and stream every violation row — the dirty
+    path may not assume the candidate set is small."""
+    obs = spark.createDataFrame(
+        [(f"d{i:03d}", [i], 1, f"s{i % 2}") for i in range(50)], _SCHEMA)
+    snap = obs.withColumn("tokens", F.array(F.lit(-1)))
+    res = run_checks(obs, [Check("tok", "token_invariant",
+                                 {"expected": snap})])
+    verd = {r["partition_id"]: r for r in res.verdicts.collect()}
+    assert verd["s0"]["n_violations"] == 25 and not verd["s0"]["passed"]
+    assert verd["s1"]["n_violations"] == 25
+    assert res.violations.count() == 50
