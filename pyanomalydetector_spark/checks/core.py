@@ -437,11 +437,15 @@ def _token_digest_join(df: DataFrame, expected_df: DataFrame,
     can only produce false *negatives* (a missed corruption), which no
     candidate rescan could recover either.
     """
-    # snapshot side: deterministic min-digest per doc (a snapshot with
-    # conflicting duplicate doc_ids is ill-defined; min is stable)
+    # snapshot side: ONE canonical variant per doc (a snapshot with
+    # conflicting duplicate doc_ids is ill-defined; the min-hash variant is
+    # stable). hash and len must come from the SAME variant — independent
+    # mins could mix fields of two conflicting variants and flag an
+    # observed row that byte-equals the canonical one (min_by keeps the
+    # buffer primitive, unlike min-of-struct which would leave codegen).
     exp = expected_df.groupBy("doc_id").agg(
         F.min(F.xxhash64("tokens")).alias("_exp_hash"),
-        F.min(F.size("tokens")).alias("_exp_len"),
+        F.min_by(F.size("tokens"), F.xxhash64("tokens")).alias("_exp_len"),
     )
     # observed side: group by (partition, doc_id) with mutable-typed (long)
     # aggregates — a dropDuplicates here would carry the string partition
@@ -518,12 +522,25 @@ def _check_token_invariant(df: DataFrame, check: Check, pcol: str) -> CheckResul
         F.col("rows_scanned"),
     )
 
-    if per_part.filter(F.col("n_bad") > 0).isEmpty():
+    bad_pids = [r["partition_id"] for r in
+                per_part.filter(F.col("n_bad") > 0)
+                        .select("partition_id").collect()]
+    if not bad_pids:
         # clean corpus: zero extra scans, provably no violations
         viol = _empty(df.sparkSession, VIOLATION_SCHEMA)
         return CheckResult(_finish_verdicts(verdicts), viol)
 
-    joined, mismatch = _token_digest_join(df, expected_df, pcol)
+    # dirty path: re-derive the digest join, but push the (tiny, known from
+    # the checkpointed rollup) failing-partition set into the observed-side
+    # scan — one corrupted partition must not cost a full-corpus re-scan.
+    # NULL-safe: a NULL partition key can be a failing partition too.
+    nn = [p for p in bad_pids if p is not None]
+    is_bad = F.coalesce(F.col(pcol).isin(nn), F.lit(False)) if nn \
+        else F.lit(False)
+    if any(p is None for p in bad_pids):
+        is_bad = is_bad | F.col(pcol).isNull()
+    joined, mismatch = _token_digest_join(df.filter(is_bad), expected_df,
+                                          pcol)
     viol = joined.filter(mismatch).select(
         F.col(pcol).alias("partition_id"),
         F.lit(check.check_id).alias("check_id"),

@@ -213,7 +213,9 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
             vc = p.get("value_col", "n_tok")
             min_count = int(p.get("min_count", 1))
             cnt = F.col(f"m_{vc}_cnt")
-            verdicts.append(_finish_verdicts(pa.select(
+            # cnt==0 (an all-NULL-value partition) emits NO verdict row,
+            # matching the per-check path (finalize_mean_std drops cnt==0)
+            verdicts.append(_finish_verdicts(pa.filter(cnt > 0).select(
                 "partition_id", cid,
                 (cnt >= min_count).alias("passed"),
                 cnt.cast("double").alias("observed"),
@@ -236,7 +238,10 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
             dev = F.abs(mean_h - mean_t)
             fail = (dev > F.lit(lam) * std_t) & (mean_t > 0) & \
                    (F.try_divide(dev, mean_t) > rate)
-            verdicts.append(_finish_verdicts(pa.select(
+            # cnt==0 partitions emit no verdict, matching the per-check
+            # path (finalize_mean_std filters cnt>0 before the crossJoin)
+            pa_z = pa.filter(F.col(f"{mtag}_cnt") > 0)
+            verdicts.append(_finish_verdicts(pa_z.select(
                 "partition_id", cid,
                 (~fail).alias("passed"),
                 mean_h.alias("observed"),
@@ -246,7 +251,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
                 F.col(f"{mtag}_cnt").alias("rows_scanned"))))
             # failing partitions flow into the violations scan as a
             # broadcast left-join — no driver collect
-            zfail = pa.where(fail).select(
+            zfail = pa_z.where(fail).select(
                 F.col("partition_id").alias(f"_zp_{i}"),
                 mean_t.alias(f"_zm_{i}"),
                 (F.lit(lam) * std_t).alias(f"_zt_{i}"))

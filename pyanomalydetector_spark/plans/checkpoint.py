@@ -178,7 +178,7 @@ class CheckpointStore:
             self.spark.sql(f"""
                 MERGE INTO {self.ckpt_table} t
                 USING _ckpt_incoming s
-                ON t.partition_id = s.partition_id
+                ON t.partition_id <=> s.partition_id
                 WHEN MATCHED THEN UPDATE SET *
                 WHEN NOT MATCHED THEN INSERT *
             """)
@@ -311,7 +311,17 @@ def run_with_checkpoint(df: DataFrame, checks: list[Check],
     pinned = pin_suite(checks, bl, store)
 
     done = store.done_partitions(shash, snapshot_id)
-    pending_df = df.filter(~F.col(partition_col).isin(done)) if done else df
+    # NULL-SAFE skip-done: a checkpointed NULL partition must be skipped
+    # without poisoning the filter — a plain ~isin(list-with-None) is NULL
+    # for every row (three-valued logic) and silently empties pending_df,
+    # and a pending NULL partition would evaluate NULL.isin(...) = NULL and
+    # never be rescored.
+    done_nn = [d for d in done if d is not None]
+    is_done = (F.coalesce(F.col(partition_col).isin(done_nn), F.lit(False))
+               if done_nn else F.lit(False))
+    if any(d is None for d in done):
+        is_done = is_done | F.col(partition_col).isNull()
+    pending_df = df.filter(~is_done) if done else df
 
     all_parts = {r[0] for r in df.select(partition_col).distinct().collect()}
     if all_parts - set(done):

@@ -147,3 +147,33 @@ def test_iceberg_backend_merge_contract(spark, tmp_path):
     assert set(got) == {"p1", "p2"}          # MERGE upserted, no duplicates
     assert got["p1"]["rows_scanned"] == 99   # matched row was updated
     assert store.current_snapshot_id() is not None
+
+
+def test_checkpoint_resume_with_null_partition(spark, tmp_path):
+    """A NULL partition key must checkpoint and resume cleanly: once done it
+    is skipped, it must not poison the skip-done filter for pending
+    partitions (~isin over a list containing None is NULL for EVERY row),
+    and resumed ≡ one-shot still holds."""
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    first = spark.createDataFrame(
+        [("a", [1], 1, "s1"), ("n", [2], 2, None), ("n", [2], 2, None)],
+        schema)
+    both = first.unionByName(
+        spark.createDataFrame([("b", [3], 3, "s2")], schema))
+    ck_suite = [Check("u", "unique", {"key": "doc_id"}),
+                Check("stats", "column_stats", {"value_col": "n_tok"})]
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    run_with_checkpoint(first, ck_suite, store)       # s1 + NULL now done
+    res = run_with_checkpoint(both, ck_suite, store)  # only s2 pending
+    oneshot = run_checks(both, ck_suite)
+
+    def norm(df):
+        return sorted(
+            ((r["partition_id"], r["check_id"], r["passed"],
+              r["n_violations"], r["rows_scanned"])
+             for r in df.collect()),
+            key=lambda t: tuple("" if x is None else str(x) for x in t))
+
+    assert norm(res.verdicts) == norm(oneshot.verdicts)
+    assert {r["partition_id"] for r in res.verdicts.collect()} == \
+        {"s1", "s2", None}

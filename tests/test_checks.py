@@ -459,3 +459,30 @@ def test_token_invariant_heavy_divergence_exact_counts(spark):
     assert verd["s0"]["n_violations"] == 25 and not verd["s0"]["passed"]
     assert verd["s1"]["n_violations"] == 25
     assert res.violations.count() == 50
+
+
+def test_token_invariant_conflicting_snapshot_duplicates_canonical(spark):
+    """When the snapshot holds CONFLICTING duplicates of one doc_id, the
+    canonical (min-hash) variant is the truth: an observed row that
+    byte-equals it must pass — independent min(hash)/min(len) aggregates
+    could mix fields of two variants and fabricate a mismatch."""
+    t1, t2 = [5, 6, 7], [9, 9]
+    h = {r["k"]: r["h"] for r in
+         spark.createDataFrame([("t1", t1), ("t2", t2)],
+                               "k string, v array<int>")
+              .select("k", F.xxhash64("v").alias("h")).collect()}
+    canon = t1 if h["t1"] < h["t2"] else t2
+    other = t2 if canon is t1 else t1
+    snapshot = spark.createDataFrame(
+        [("d", t1, len(t1), "s"), ("d", t2, len(t2), "s")], _SCHEMA)
+    observed = spark.createDataFrame(
+        [("d", canon, len(canon), "s")], _SCHEMA)
+    res = run_checks(observed, [Check("tok", "token_invariant",
+                                      {"expected": snapshot})])
+    assert res.violations.count() == 0
+    assert all(r["passed"] for r in res.verdicts.collect())
+    # and the non-canonical variant IS flagged
+    res2 = run_checks(
+        spark.createDataFrame([("d", other, len(other), "s")], _SCHEMA),
+        [Check("tok", "token_invariant", {"expected": snapshot})])
+    assert res2.violations.count() == 1

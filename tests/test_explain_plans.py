@@ -117,6 +117,22 @@ def test_token_invariant_no_payload_below_shuffle(spark, sf_dir):
         for cols in exchanges_of(df):
             assert not any("tokens" in c.lower() for c in cols), cols
 
+    # DIRTY branch: with real mismatches the violations frame re-derives
+    # the digest join — its shuffles must be payload-free too (the clean
+    # branch above returns an empty local frame and gates nothing)
+    from pyspark.sql import functions as F
+    mutated = seq.withColumn(
+        "tokens",
+        F.when(F.col("doc_id") == "doc-00000001",
+               F.concat(F.col("tokens"), F.array(F.lit(999))))
+         .otherwise(F.col("tokens")))
+    dirty = run_checks(mutated,
+                       [Check("tok", "token_invariant", {"expected": seq})])
+    dirty_ex = exchanges_of(dirty.violations)
+    assert dirty_ex      # the re-derived join does shuffle
+    for cols in dirty_ex:
+        assert not any("tokens" in c.lower() for c in cols), cols
+
 
 def test_minhash_verify_shuffles_candidates_only(spark, sf_dir):
     """The minhash exact-verify stage must (a) build shingle sets only for

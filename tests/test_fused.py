@@ -58,3 +58,23 @@ def test_unique_salted_equals_direct(seq):
                                     {"key": "doc_id", "salt_buckets": 8})])
     assert _norm_verdicts(direct.verdicts) == _norm_verdicts(salted.verdicts)
     assert _norm_violations(direct.violations) == _norm_violations(salted.violations)
+
+
+def test_fused_eq_per_check_all_null_value_partition(spark):
+    """A partition whose value column is entirely NULL gets NO column_stats/
+    zscore verdict row on the per-check path (finalize_mean_std drops
+    cnt==0); the fused path must agree instead of emitting a scrubbed-to-0
+    row."""
+    df = spark.createDataFrame(
+        [("a", [1], 1, "s1"), ("b", [2], 2, "s1"),
+         ("c", [3], None, "s2"), ("d", [4], None, "s2")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    suite = [Check("stats", "column_stats", {"value_col": "n_tok"}),
+             Check("z", "zscore_threshold",
+                   {"value_col": "n_tok", "lambda": 0.5,
+                    "ignore_diff_rate": 0.0})]
+    fused = run_checks(df, suite, fuse=True)
+    plain = run_checks(df, suite, fuse=False)
+    assert _norm_verdicts(fused.verdicts) == _norm_verdicts(plain.verdicts)
+    assert _norm_violations(fused.violations) == _norm_violations(plain.violations)
+    assert {r["partition_id"] for r in fused.verdicts.collect()} == {"s1"}
