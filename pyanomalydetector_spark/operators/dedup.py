@@ -221,6 +221,12 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
         .persist()
     if cache_registry is not None:
         cache_registry.append(cand)
+    # materialize EAGERLY: cand feeds three branches of the verify job (both
+    # union arms of cand_ids + the pair join); concurrent stages of one job
+    # each miss a lazy cache and re-execute the whole LSH pipeline (same
+    # race as the PSI histogram, see checks/drift.py) — one tiny count()
+    # job up front keeps signature+banding to a single execution
+    cand.count()
 
     # Exact-verify ONLY the candidate pairs: join the candidate set against
     # per-doc shingle sets and take array_intersect — never the full
