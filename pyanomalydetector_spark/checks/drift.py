@@ -278,6 +278,14 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
         if cache_registry is not None:
             cache_registry.append(base_vcounts)
 
+    # materialize the persisted frames EAGERLY even on the bounded path
+    # (where no cardinality probe runs): values/parts/base_counts/rows all
+    # branch off them inside ONE downstream job, and concurrent stages each
+    # miss a lazy cache and re-run the raw-scan groupBy (the PSI-histogram
+    # race above)
+    part_counts.count()
+    if base_vcounts is not None:
+        base_vcounts.count()
     ndv = 0 if bounded else part_counts.select("v").distinct().count()
     if not bounded and base_vcounts is not None:
         ndv += base_vcounts.count()

@@ -181,6 +181,11 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
 
     part_aggs = part_src.groupBy(F.col(pcol).alias("partition_id")) \
                         .agg(*aggs).persist()
+    # materialize EAGERLY: every per-check verdict branch of the union below
+    # reads this frame; concurrent stages of the verdict job each miss a
+    # lazy cache and re-run the raw-scan groupBy (the PSI-histogram race,
+    # see checks/drift.py) — one count() pins the scan to a single execution
+    part_aggs.count()
 
     # ---- global baselines: lazy 1-row re-agg of the tiny frame -------------
     need_globals = any(
