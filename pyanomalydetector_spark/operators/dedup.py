@@ -284,17 +284,32 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text", bits: int = HASH_BITS) -> DataFrame:
+                  text_col: str = "text", bits: int = HASH_BITS,
+                  cache_registry: list | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Pigeonhole banding: split the fingerprint into ``max_hamming + 1`` bands;
     any pair within the distance budget collides on at least one whole band,
     so the self-join runs on (band, band_value) buckets, then the exact
     ``bit_count(xor) ≤ h`` filter confirms. Returns ``(d1, d2, hamming)``.
+
+    The fingerprint frame (one 16-byte row per doc — the cheapest frame in
+    the pipeline) is persisted and materialized eagerly: both arms of the
+    banding self-join consume it, their plans differ only by alias, and
+    ReuseExchange does NOT fire across them (measured: 2 parquet scans,
+    i.e. the word-explode + 32-agg groupBy ran twice). At sf0.1 the cache
+    barrier costs ~0.2 s (idle cores absorb the duplicate scan); at corpus
+    scale the duplicate is a second full scan + shuffle of every word hash
+    — the dominant stage — so the cache wins outright. Long-lived callers
+    pass ``cache_registry`` to collect it for unpersist after
+    materialization.
     """
     n_bands = max_hamming + 1
     band_width = bits // n_bands
-    sh = simhash(docs, text_col, bits=bits)
+    sh = simhash(docs, text_col, bits=bits).persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
+    sh.count()
 
     def band_val(col, b):
         # bits [b*w, (b+1)*w) — last band takes the remainder
