@@ -213,12 +213,21 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     sh = hashed_shingles(docs, k, text_col).persist()
     if cache_registry is not None:
         cache_registry.append(sh)
-    # persist: the candidate subplan (signatures + banding self-join +
-    # distinct) is consumed twice below (cand_ids and the verify join) —
-    # without this, exchange reuse is not guaranteed across AQE replanning
-    # and the LSH pipeline would execute twice
-    cand = lsh_candidates(minhash_signatures(sh, num_hashes), bands, rows) \
-        .persist()
+    # persist the signature frame (doc_id + num_hashes longs — tiny): both
+    # alias-only-different arms of the banding self-join consume it and
+    # ReuseExchange does not fire across them, so without the cache the
+    # num_hashes-agg signature aggregate executes once per arm (measured
+    # ~20% of the query at sf0.1; at corpus scale it is the second-largest
+    # shuffle)
+    sig = minhash_signatures(sh, num_hashes).persist()
+    if cache_registry is not None:
+        cache_registry.append(sig)
+    sig.count()
+    # persist: the candidate subplan (banding self-join + distinct) is
+    # consumed twice below (cand_ids and the verify join) — without this,
+    # exchange reuse is not guaranteed across AQE replanning and the LSH
+    # pipeline would execute twice
+    cand = lsh_candidates(sig, bands, rows).persist()
     if cache_registry is not None:
         cache_registry.append(cand)
     # materialize EAGERLY: cand feeds three branches of the verify job (both
