@@ -120,7 +120,8 @@ def _infer_dim(emb: DataFrame, vec_col: str, sample: int = 1024) -> int | None:
 def cosine_pairs_above_lsh(emb: DataFrame, threshold: float = 0.9,
                            n_bits: int = 32, bands: int = 8,
                            vec_col: str = "embedding",
-                           id_col: str = "vec_id") -> DataFrame:
+                           id_col: str = "vec_id",
+                           cache_registry: list | None = None) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH — the 100 TB
     candidate route (the blocked-BLAS path is O(N²/B) tiles; this is
     O(collisions)).
@@ -169,7 +170,16 @@ def cosine_pairs_above_lsh(emb: DataFrame, threshold: float = 0.9,
                 key.extend(k.astype("int64").tolist())
             yield pd.DataFrame({"vid": ids, "band": bnd, "bucket": key})
 
-    sig = emb.mapInPandas(buckets, "vid long, band int, bucket long")
+    # persist the band-key frame: both alias-only-different arms of the
+    # self-join consume it and ReuseExchange does not fire across them, so
+    # without the cache the Arrow matmul pass over every embedding runs
+    # once per arm (same gap as the minhash/simhash banding joins). Rows
+    # are (long, int, long) — bands rows per doc, payload-free.
+    sig = emb.mapInPandas(buckets, "vid long, band int, bucket long") \
+             .persist()
+    if cache_registry is not None:
+        cache_registry.append(sig)
+    sig.count()
     a = sig.select(F.col("vid").alias("d1"), "band", "bucket")
     b = sig.select(F.col("vid").alias("d2"), "band", "bucket")
     cand = (a.join(b, ["band", "bucket"])
