@@ -30,9 +30,12 @@ driver are folded in as broadcast 1-row frames:
 - z-score failing partitions: a broadcast left-join onto the violations
   scan instead of a collected id list.
 
-So a full suite materializes in ~3 Spark jobs (fused verdicts, fused
-violations, plus whatever non-fused checks need) instead of ~7 — the fixed
-job-latency term that dominates small inputs, and fewer barriers at scale.
+So a full suite materializes in ~4 Spark jobs (the eager part_aggs scan,
+fused verdicts, fused violations, plus whatever non-fused checks need)
+instead of ~7 — the fixed job-latency term that dominates small inputs, and
+fewer barriers at scale. The part_aggs scan is deliberately its own job:
+populated lazily, every verdict branch of the union job races to compute
+the missing cache and the raw scan runs once per concurrent stage.
 
 Non-fusible kinds (``unique`` needs a groupBy on the key, ``drift_ks`` needs
 the per-value CDF grid, ``token_invariant`` needs a snapshot join) keep their
