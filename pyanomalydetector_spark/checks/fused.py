@@ -30,12 +30,12 @@ driver are folded in as broadcast 1-row frames:
 - z-score failing partitions: a broadcast left-join onto the violations
   scan instead of a collected id list.
 
-So a full suite materializes in ~4 Spark jobs (the eager part_aggs scan,
-fused verdicts, fused violations, plus whatever non-fused checks need)
-instead of ~7 — the fixed job-latency term that dominates small inputs, and
-fewer barriers at scale. The part_aggs scan is deliberately its own job:
-populated lazily, every verdict branch of the union job races to compute
-the missing cache and the raw scan runs once per concurrent stage.
+So a full suite materializes in ~3 Spark jobs (fused verdicts, fused
+violations, plus whatever non-fused checks need) instead of ~7 — the fixed
+job-latency term that dominates small inputs, and fewer barriers at scale.
+The per-partition aggregate cache is populated lazily by whichever of the
+two concurrent jobs gets there first (see the measured rationale at the
+persist site).
 
 Non-fusible kinds (``unique`` needs a groupBy on the key, ``drift_ks`` needs
 the per-value CDF grid, ``token_invariant`` needs a snapshot join) keep their
@@ -182,13 +182,16 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
                 aggs.append(F.sum(F.when(bucket == b, 1).otherwise(0))
                              .alias(f"{tag}_b{b}"))
 
+    # persisted LAZILY on purpose: materialize() runs the verdicts and
+    # violations jobs on concurrent threads, and the violations pass needs a
+    # second raw scan regardless — an eager count() here serializes the two
+    # full scans (measured +12% wall at 32M rows / local[4]) while the lazy
+    # race costs nothing measurable (interleaved A/B at sf0.1: 3.17 s lazy
+    # vs 3.19 s eager). This is the opposite call from the minhash/simhash
+    # banding caches, where the duplicated work is a whole extra
+    # explode+aggregate pass and eager wins — measure before changing.
     part_aggs = part_src.groupBy(F.col(pcol).alias("partition_id")) \
                         .agg(*aggs).persist()
-    # materialize EAGERLY: every per-check verdict branch of the union below
-    # reads this frame; concurrent stages of the verdict job each miss a
-    # lazy cache and re-run the raw-scan groupBy (the PSI-histogram race,
-    # see checks/drift.py) — one count() pins the scan to a single execution
-    part_aggs.count()
 
     # ---- global baselines: lazy 1-row re-agg of the tiny frame -------------
     need_globals = any(

@@ -216,9 +216,12 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     # persist the signature frame (doc_id + num_hashes longs — tiny): both
     # alias-only-different arms of the banding self-join consume it and
     # ReuseExchange does not fire across them, so without the cache the
-    # num_hashes-agg signature aggregate executes once per arm (measured
-    # ~20% of the query at sf0.1; at corpus scale it is the second-largest
-    # shuffle)
+    # num_hashes-agg signature aggregate + its shuffle execute once per arm.
+    # Interleaved A/B at sf0.1: the cache barrier COSTS ~0.3 s there (idle
+    # cores absorb the duplicate); it is kept because at corpus scale the
+    # duplicate is the second-largest shuffle in the pipeline, and a cache
+    # of 30 longs/doc read twice is strictly cheaper than computing and
+    # shuffling it twice
     sig = minhash_signatures(sh, num_hashes).persist()
     if cache_registry is not None:
         cache_registry.append(sig)
