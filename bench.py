@@ -137,9 +137,17 @@ def main() -> None:
         isolate()
         return elapsed
 
+    # INTERLEAVED min-of-3 per side: this host's slowdowns come in
+    # multi-second windows, and sampling one side back-to-back lets a
+    # single window inflate that side's every sample (a measured 1.39
+    # "ratio" that interleaving resolved to ~1.1 on the same host) —
+    # alternating u/s means a window hits both sides symmetrically.
     run_skew(uni_path)                       # warm the scan path
-    t_uni = min(run_skew(uni_path), run_skew(uni_path))
-    t_skw = min(run_skew(skw_path), run_skew(skw_path))
+    u_s, s_s = [], []
+    for _ in range(3):
+        u_s.append(run_skew(uni_path))
+        s_s.append(run_skew(skw_path))
+    t_uni, t_skw = min(u_s), min(s_s)
     skew_extras = {"uniform_sec": t_uni, "skewed_sec": t_skw,
                    "ratio": round(t_skw / t_uni, 3), "n_rows": 1_000_000}
 

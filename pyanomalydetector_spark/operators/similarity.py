@@ -382,6 +382,10 @@ def cosine_pairs_above_blocked(emb: DataFrame, threshold: float = 0.95,
 
     # raw vectors go to the kernel; L2-normalization happens in numpy there
     # (one vectorized pass per block — cheaper than per-element JVM lambdas)
+    dim = _infer_dim(emb, vec_col)
+    if dim is None:        # empty/all-null input → empty result, like brute
+        return emb.sparkSession.createDataFrame(
+            [], "d1 long, d2 long, cos_sim double")
     blocks = (
         emb.select(F.col(id_col).cast("long").alias("vid"),
                    _as_double(F.col(vec_col)).alias("_u"),
@@ -400,9 +404,16 @@ def cosine_pairs_above_blocked(emb: DataFrame, threshold: float = 0.95,
 
     def tile(batches):
         def unit_rows(rows):
-            """ids + unit-normalized matrix; zero-norm/NaN vectors dropped
-            (matches the brute path, where their NULL cos_sim never clears
-            the threshold)."""
+            """ids + unit-normalized matrix; null/ragged rows dropped BEFORE
+            np.array (a None or wrong-length vector makes the stack an
+            object array and norm() raises — same scrub as the LSH/assign
+            kernels), then zero-norm/NaN vectors dropped (matches the brute
+            path, where their NULL cos_sim never clears the threshold)."""
+            rows = [r for r in rows
+                    if r["vid"] is not None
+                    and r["_u"] is not None and len(r["_u"]) == dim]
+            if not rows:
+                return np.empty(0, dtype=np.int64), np.empty((0, dim))
             ids = np.array([r["vid"] for r in rows])
             m = np.array([r["_u"] for r in rows], dtype=np.float64)
             norms = np.linalg.norm(m, axis=1)

@@ -355,7 +355,8 @@ def test_similarity_kernels_tolerate_null_and_ragged_embeddings(spark):
     crash them — mirroring the brute path where a null vector's cos_sim is
     NULL and never clears a threshold."""
     from pyanomalydetector_spark.operators.similarity import (
-        assign_cells, cosine_pairs_above_lsh, train_ivf_codebook,
+        assign_cells, cosine_pairs_above_blocked, cosine_pairs_above_lsh,
+        train_ivf_codebook,
     )
     rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0], i % 3)
             for i in range(40)]
@@ -366,6 +367,12 @@ def test_similarity_kernels_tolerate_null_and_ragged_embeddings(spark):
     pairs = cosine_pairs_above_lsh(emb, threshold=0.99, n_bits=16, bands=4)
     ids = {i for r in pairs.collect() for i in (r["d1"], r["d2"])}
     assert 100 not in ids and 101 not in ids
+
+    # the blocked-BLAS tile kernel must drop the same rows before np.array
+    # (an object-dtype stack would raise inside np.linalg.norm)
+    blocked = cosine_pairs_above_blocked(emb, threshold=0.99, block_size=16)
+    bids = {i for r in blocked.collect() for i in (r["d1"], r["d2"])}
+    assert 100 not in bids and 101 not in bids
 
     cents = train_ivf_codebook(emb, n_cells=4, n_iters=2)
     assert cents.shape == (4, 3)
