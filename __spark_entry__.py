@@ -821,7 +821,9 @@ def _q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.lit("1998-01-01"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-          .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+          # no static broadcast hint: the BUILDING segment is ~1/5 of
+          # customer — unbounded at scale; AQE broadcasts when it fits
+          .join(c, o["o_custkey"] == c["c_custkey"])
           .groupBy("l_orderkey", "o_orderdate")
           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
                 .alias("revenue"))

@@ -138,8 +138,12 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
     )
     na = counts.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
     nb = counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    # no static broadcast hint on the per-doc count frames: one row per doc
+    # is unbounded at corpus scale (a forced broadcast would OOM exactly
+    # like the candidate-pair hint this module already dropped); AQE
+    # broadcasts them at runtime when they actually fit
     return (
-        inter.join(F.broadcast(na), "d1").join(F.broadcast(nb), "d2")
+        inter.join(na, "d1").join(nb, "d2")
              .withColumn("jaccard",
                          F.col("inter") /
                          (F.col("n1") + F.col("n2") - F.col("inter")))
