@@ -172,12 +172,34 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 30) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates(sig: DataFrame, bands: int = 10, rows: int = 3) -> DataFrame:
+def _cap_buckets(stacked: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Optionally drop banding rows whose (band, bucket) collision group
+    exceeds ``max_bucket`` members — the standard web-scale LSH mitigation
+    for *hot buckets* (boilerplate/template clusters that collide by the
+    thousands and would emit O(bucket²) candidate pairs from one reducer).
+    Skipping a hot bucket loses recall ONLY within that boilerplate cluster
+    (precision is unaffected — every emitted pair is still exact-verified);
+    at 100 TB that trade is taken deliberately, so it is an opt-in knob,
+    default off (``None``), keeping brute-force oracle parity by default.
+
+    One window count over the same (band, bucket) hash partitioning the
+    downstream self-join shuffles on — no extra scan of the corpus.
+    """
+    if max_bucket is None:
+        return stacked
+    w = Window.partitionBy("band", "bucket")
+    return stacked.withColumn("_bn", F.count(F.lit(1)).over(w)) \
+                  .filter(F.col("_bn") <= max_bucket).drop("_bn")
+
+
+def lsh_candidates(sig: DataFrame, bands: int = 10, rows: int = 3,
+                   max_bucket: int | None = None) -> DataFrame:
     """Banded-LSH candidate pairs (d1 < d2) from min-hash signatures.
 
     Band key = hash of its ``rows`` signature slots; docs sharing any band
     bucket become candidates. Shuffle is by (band, bucket) — collision
-    groups only, never the full pair space.
+    groups only, never the full pair space. ``max_bucket`` skips hot
+    collision groups (see :func:`_cap_buckets`).
     """
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
@@ -191,6 +213,7 @@ def lsh_candidates(sig: DataFrame, bands: int = 10, rows: int = 3) -> DataFrame:
             for b in range(bands)
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    stacked = _cap_buckets(stacked, max_bucket)
     a = stacked.select(F.col("doc_id").alias("d1"), "band", "bucket")
     b = stacked.select(F.col("doc_id").alias("d2"), "band", "bucket")
     return (
@@ -203,7 +226,8 @@ def lsh_candidates(sig: DataFrame, bands: int = 10, rows: int = 3) -> DataFrame:
 def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
                         num_hashes: int = 30, bands: int = 10, rows: int = 3,
                         text_col: str = "text",
-                        cache_registry: list | None = None) -> DataFrame:
+                        cache_registry: list | None = None,
+                        max_bucket: int | None = None) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
     Output contract equals :func:`jaccard_pairs` (candidates are verified
@@ -234,7 +258,7 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     # consumed twice below (cand_ids and the verify join) — without this,
     # exchange reuse is not guaranteed across AQE replanning and the LSH
     # pipeline would execute twice
-    cand = lsh_candidates(sig, bands, rows).persist()
+    cand = lsh_candidates(sig, bands, rows, max_bucket).persist()
     if cache_registry is not None:
         cache_registry.append(cand)
     # materialize EAGERLY: cand feeds three branches of the verify job (both
@@ -301,13 +325,15 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   text_col: str = "text", bits: int = HASH_BITS,
-                  cache_registry: list | None = None) -> DataFrame:
+                  cache_registry: list | None = None,
+                  max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Pigeonhole banding: split the fingerprint into ``max_hamming + 1`` bands;
     any pair within the distance budget collides on at least one whole band,
     so the self-join runs on (band, band_value) buckets, then the exact
     ``bit_count(xor) ≤ h`` filter confirms. Returns ``(d1, d2, hamming)``.
+    ``max_bucket`` skips hot collision groups (see :func:`_cap_buckets`).
 
     The fingerprint frame (one 16-byte row per doc — the cheapest frame in
     the pipeline) is persisted and materialized eagerly: both arms of the
@@ -341,6 +367,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             for b in range(n_bands)
         ])).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    stacked = _cap_buckets(stacked, max_bucket)
     a = stacked.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("f1"),
                        "band", "bucket")
     b = stacked.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("f2"),

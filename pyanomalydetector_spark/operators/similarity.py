@@ -121,7 +121,8 @@ def cosine_pairs_above_lsh(emb: DataFrame, threshold: float = 0.9,
                            n_bits: int = 32, bands: int = 8,
                            vec_col: str = "embedding",
                            id_col: str = "vec_id",
-                           cache_registry: list | None = None) -> DataFrame:
+                           cache_registry: list | None = None,
+                           max_bucket: int | None = None) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH — the 100 TB
     candidate route (the blocked-BLAS path is O(N²/B) tiles; this is
     O(collisions)).
@@ -180,6 +181,16 @@ def cosine_pairs_above_lsh(emb: DataFrame, threshold: float = 0.9,
     if cache_registry is not None:
         cache_registry.append(sig)
     sig.count()
+    if max_bucket is not None:
+        # skip hot collision groups (boilerplate/duplicate-embedding
+        # clusters emit O(bucket²) pairs from one reducer at web scale) —
+        # recall is lost only inside the skipped cluster, precision is
+        # unchanged (pairs are exact-verified); opt-in, default off, so
+        # the brute-force oracle parity holds by default. Same knob as
+        # dedup._cap_buckets.
+        w = Window.partitionBy("band", "bucket")
+        sig = sig.withColumn("_bn", F.count(F.lit(1)).over(w)) \
+                 .filter(F.col("_bn") <= max_bucket).drop("_bn")
     a = sig.select(F.col("vid").alias("d1"), "band", "bucket")
     b = sig.select(F.col("vid").alias("d2"), "band", "bucket")
     cand = (a.join(b, ["band", "bucket"])

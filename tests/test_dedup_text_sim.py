@@ -282,6 +282,31 @@ def test_hashed_shingles_short_docs(spark):
     assert [(r["d1"], r["d2"], r["jaccard"]) for r in pairs] == [(3, 4, 1.0)]
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """``max_bucket`` must skip pairs inside an oversized collision group
+    (the web-scale boilerplate mitigation) while keeping pairs from small
+    buckets, and default-off must equal the uncapped result."""
+    hot = [(i, "the same boilerplate template text repeated verbatim here")
+           for i in range(10)]                       # 10 identical docs
+    pair = [(100, "a quite unusual document about distributed dedup pipes"),
+            (101, "a quite unusual document about distributed dedup pipes")]
+    docs = spark.createDataFrame(hot + pair, "doc_id long, text string")
+
+    uncapped = {(r["d1"], r["d2"]) for r in
+                minhash_dedup_pairs(docs, k=3, threshold=0.8).collect()}
+    assert (100, 101) in uncapped
+    assert sum(1 for d1, d2 in uncapped if d1 < 100) == 45  # C(10,2)
+
+    capped = {(r["d1"], r["d2"]) for r in
+              minhash_dedup_pairs(docs, k=3, threshold=0.8,
+                                  max_bucket=5).collect()}
+    assert capped == {(100, 101)}    # hot cluster skipped, small bucket kept
+
+    sp = {(r["d1"], r["d2"]) for r in
+          simhash_pairs(docs, max_hamming=2, max_bucket=5).collect()}
+    assert (100, 101) in sp and all(d1 >= 100 for d1, _ in sp)
+
+
 def test_duplicate_clusters_known_graph(spark):
     """Min-label propagation must produce exact components: a 4-chain
     (worst case for propagation depth), a triangle, and a detached pair."""
