@@ -334,6 +334,38 @@ def ivf_topk_trained(emb: DataFrame, query_ids: list[int], k: int = 5,
                     vec_col=vec_col, id_col=id_col)
 
 
+def _probe_cells(q: DataFrame, cents: DataFrame, n_probe: int,
+                 cell_col: str) -> DataFrame:
+    """Per-query top-``n_probe`` nearest centroid cells.
+
+    ``q`` is ``(q_id, _qv, _qnorm)``, ``cents`` is
+    ``(cell_col, _cv, _cnorm)``. Returns ``(q_id, cell_col, _qv, _qnorm)``
+    — O(queries × n_probe) rows, carrying the query vectors along so the
+    exact-search stage never rescans the query side."""
+    qc = q.crossJoin(F.broadcast(cents))
+    csim = F.try_divide(_dot(F.col("_qv"), F.col("_cv")),
+                        F.col("_qnorm") * F.col("_cnorm"))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("_csim"), F.col(cell_col))
+    return qc.select("q_id", cell_col, csim.alias("_csim"), "_qv", "_qnorm") \
+             .withColumn("_r", F.row_number().over(wq)) \
+             .filter(F.col("_r") <= n_probe) \
+             .select("q_id", cell_col, "_qv", "_qnorm")
+
+
+def _exact_search_cells(base: DataFrame, probes: DataFrame, k: int,
+                        cell_col: str, id_col: str) -> DataFrame:
+    """Exact cosine top-k restricted to each query's probed cells. ``probes``
+    is bounded (queries × n_probe) → broadcast is safe by construction."""
+    j = base.join(F.broadcast(probes), cell_col) \
+            .filter(F.col(id_col) != F.col("q_id"))
+    sim = F.try_divide(_dot(F.col("_v"), F.col("_qv")),
+                       F.col("_norm") * F.col("_qnorm"))
+    scored = j.select("q_id", id_col, sim.alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+                 .filter(F.col("rank") <= k)
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_probe: int = 2, cell_col: str = "label",
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
@@ -349,23 +381,72 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         F.col(id_col).alias("q_id"), F.col("_v").alias("_qv"),
         F.col("_norm").alias("_qnorm"))
 
-    qc = q.crossJoin(F.broadcast(cents))
-    csim = F.try_divide(_dot(F.col("_qv"), F.col("_cv")),
-                        F.col("_qnorm") * F.col("_cnorm"))
-    wq = Window.partitionBy("q_id").orderBy(F.desc("_csim"), F.col(cell_col))
-    probes = qc.select("q_id", cell_col, csim.alias("_csim"), "_qv", "_qnorm") \
-               .withColumn("_r", F.row_number().over(wq)) \
-               .filter(F.col("_r") <= n_probe) \
-               .select("q_id", cell_col, "_qv", "_qnorm")
+    probes = _probe_cells(q, cents, n_probe, cell_col)
+    return _exact_search_cells(base, probes, k, cell_col, id_col)
 
-    j = base.join(F.broadcast(probes), cell_col) \
-            .filter(F.col(id_col) != F.col("q_id"))
-    sim = F.try_divide(_dot(F.col("_v"), F.col("_qv")),
-                       F.col("_norm") * F.col("_qnorm"))
-    scored = j.select("q_id", id_col, sim.alias("cos_sim"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)) \
-                 .filter(F.col("rank") <= k)
+
+def build_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
+                    n_iters: int = 5, vec_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """Persist an IVF index: ``<path>/codebook`` (one row per cell:
+    ``cell int, centroid array<double>``) + ``<path>/cells`` — the corpus
+    re-laid-out as parquet PARTITIONED BY the assigned cell.
+
+    This is the build-once/query-many shape ANN needs at corpus scale:
+    training + assignment are paid once; every later query batch reads ONLY
+    the probed cells' files (Hive-style partition pruning on ``_cell``), so
+    per-batch IO is ~n_probe/n_cells of the corpus instead of a full scan —
+    the difference between re-deriving the index per run (what
+    :func:`ivf_topk_trained` does, fine for one-shot jobs) and serving many
+    query batches against 10¹² rows. Training is deterministic
+    (hash-sample init, fixed iterations), so rebuilding over unchanged data
+    reproduces the index bit-for-bit. Null/ragged embeddings are dropped at
+    assignment (they can never be scored). Returns the centroid matrix.
+    """
+    spark = emb.sparkSession
+    cents = train_ivf_codebook(emb, n_cells, n_iters, vec_col, id_col)
+    cb = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>")
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    assign_cells(emb, cents, vec_col, "_cell") \
+        .write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/cells")
+    return cents
+
+
+def ivf_topk_indexed(spark, path: str, query_ids: list[int], k: int = 5,
+                     n_probe: int = 3, vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     cache_registry: list | None = None) -> DataFrame:
+    """ANN top-k over a persisted :func:`build_ivf_index` layout.
+
+    Two scans, both bounded: (1) the query lookup — an id-pushdown scan
+    (``In(vec_id, …)`` reaches the parquet footers; at serving scale the
+    cells layout can additionally be sorted by id for row-group skipping);
+    (2) the exact search — the cells scan filtered to the probed cell SET,
+    collected first (≤ queries × n_probe ints) so the filter is a literal
+    ``isin`` and Hive partition pruning drops every unprobed cell's files
+    statically (``PartitionFilters`` in the scan, pinned in tests) rather
+    than relying on runtime DPP."""
+    cents = spark.read.parquet(f"{path}/codebook") \
+        .select(F.col("cell").alias("_cell"), F.col("centroid").alias("_cv")) \
+        .withColumn("_cnorm", _norm(F.col("_cv")))
+    cells = spark.read.parquet(f"{path}/cells")
+    base = with_norm(cells, vec_col).select(id_col, "_cell", "_v", "_norm")
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"))
+
+    # persisted because it is consumed twice (cell-set collect + the search
+    # join); tiny (queries × n_probe rows). Long-lived callers pass
+    # cache_registry to unpersist when done.
+    probes = _probe_cells(q, cents, n_probe, "_cell").persist()
+    if cache_registry is not None:
+        cache_registry.append(probes)
+    probed = sorted({r["_cell"] for r in
+                     probes.select("_cell").distinct().collect()})
+    pruned = base.filter(F.col("_cell").isin(probed))
+    return _exact_search_cells(pruned, probes, k, "_cell", id_col)
 
 
 def cosine_pairs_above_blocked(emb: DataFrame, threshold: float = 0.95,
