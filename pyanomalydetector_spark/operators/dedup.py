@@ -192,6 +192,23 @@ def _cap_buckets(stacked: DataFrame, max_bucket: int | None) -> DataFrame:
                   .filter(F.col("_bn") <= max_bucket).drop("_bn")
 
 
+def _band_stack(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """``(doc_id, band, bucket)`` banding rows from a signature frame: band
+    key = hash of that band's ``rows`` signature slots."""
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def lsh_candidates(sig: DataFrame, bands: int = 10, rows: int = 3,
                    max_bucket: int | None = None) -> DataFrame:
     """Banded-LSH candidate pairs (d1 < d2) from min-hash signatures.
@@ -201,19 +218,7 @@ def lsh_candidates(sig: DataFrame, bands: int = 10, rows: int = 3,
     groups only, never the full pair space. ``max_bucket`` skips hot
     collision groups (see :func:`_cap_buckets`).
     """
-    band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    stacked = _cap_buckets(stacked, max_bucket)
+    stacked = _cap_buckets(_band_stack(sig, bands, rows), max_bucket)
     a = stacked.select(F.col("doc_id").alias("d1"), "band", "bucket")
     b = stacked.select(F.col("doc_id").alias("d2"), "band", "bucket")
     return (
@@ -268,18 +273,24 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     # job up front keeps signature+banding to a single execution
     cand.count()
 
-    # Exact-verify ONLY the candidate pairs: join the candidate set against
-    # per-doc shingle sets and take array_intersect — never the full
-    # inverted-index self-join (that's the brute-force oracle path;
-    # re-using it here would make LSH do strictly more work than brute).
-    #
-    # Scale discipline (100 TB): (a) semi-join the shingle frame to the
-    # candidate doc-id set BEFORE collect_set, so only candidate docs'
-    # shingles ever shuffle — a web corpus with a sparse near-dup rate
-    # must not pay a full-corpus shingle shuffle just to verify;
-    # (b) no static broadcast hint on the candidate frame — duplicate-heavy
-    # corpora (30-50 % dup rates) make it billions of rows, which would OOM
-    # a forced broadcast. AQE broadcasts it at runtime when it actually fits.
+    return _verify_pairs(sh, cand, threshold)
+
+
+def _verify_pairs(sh: DataFrame, cand: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact-verify ONLY the candidate pairs: join the candidate set against
+    per-doc shingle sets and take array_intersect — never the full
+    inverted-index self-join (that's the brute-force oracle path;
+    re-using it here would make LSH do strictly more work than brute).
+
+    Scale discipline (100 TB): (a) semi-join the shingle frame to the
+    candidate doc-id set BEFORE collect_set, so only candidate docs'
+    shingles ever shuffle — a web corpus with a sparse near-dup rate
+    must not pay a full-corpus shingle shuffle just to verify;
+    (b) no static broadcast hint on the candidate frame — duplicate-heavy
+    corpora (30-50 % dup rates) make it billions of rows, which would OOM
+    a forced broadcast. AQE broadcasts it at runtime when it actually fits.
+    """
     cand_ids = (cand.select(F.col("d1").alias("doc_id"))
                     .unionByName(cand.select(F.col("d2").alias("doc_id")))
                     .distinct())
@@ -294,6 +305,117 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
                         F.size("_s1") + F.size("_s2") - inter)
     return j.select("d1", "d2", jacc.alias("jaccard")) \
             .filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------ incremental dedup store ----
+
+def build_minhash_store(docs: DataFrame, path: str, k: int = 3,
+                        num_hashes: int = 30, bands: int = 10, rows: int = 3,
+                        text_col: str = "text") -> None:
+    """Persist the corpus-side dedup assets for INCREMENTAL ingest:
+
+    - ``<path>/signatures`` — ``(doc_id, h0..h{n-1})`` min-hash signatures;
+    - ``<path>/shingles``   — ``(doc_id, sh)`` hashed shingles (exact-verify
+      side; 8 bytes/shingle, the same payload discipline as the in-memory
+      path);
+    - ``<path>/meta``       — one row pinning (k, num_hashes, bands, rows)
+      so a query/append can never silently mix hash families.
+
+    A training pipeline ingests shard after shard; re-shingling and
+    re-hashing the full corpus per shard is O(corpus) work for an O(shard)
+    question. With the store, :func:`minhash_pairs_vs_store` pays
+    signature cost only for the new batch and :func:`append_to_minhash_store`
+    folds the batch in afterwards — the corpus text itself is never re-read.
+    """
+    spark = docs.sparkSession
+    sh = hashed_shingles(docs, k, text_col).persist()
+    try:
+        minhash_signatures(sh, num_hashes) \
+            .write.mode("overwrite").parquet(f"{path}/signatures")
+        sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    finally:
+        sh.unpersist()
+    spark.createDataFrame(
+        [(k, num_hashes, bands, rows)],
+        "k int, num_hashes int, bands int, rows int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_to_minhash_store(docs: DataFrame, path: str,
+                            text_col: str = "text") -> None:
+    """Fold an ingested batch into the store (parquet append on both
+    assets). Call AFTER its pairs were emitted, so later batches dedup
+    against it. Params come from ``<path>/meta`` — the caller cannot
+    drift the hash family."""
+    m = docs.sparkSession.read.parquet(f"{path}/meta").first()
+    sh = hashed_shingles(docs, int(m["k"]), text_col).persist()
+    try:
+        minhash_signatures(sh, int(m["num_hashes"])) \
+            .write.mode("append").parquet(f"{path}/signatures")
+        sh.write.mode("append").parquet(f"{path}/shingles")
+    finally:
+        sh.unpersist()
+
+
+def minhash_pairs_vs_store(new_docs: DataFrame, path: str,
+                           threshold: float = 0.8, text_col: str = "text",
+                           cache_registry: list | None = None,
+                           max_bucket: int | None = None) -> DataFrame:
+    """Near-dup pairs TOUCHING the new batch — new-vs-corpus and
+    new-vs-new — against a :func:`build_minhash_store` layout. Same output
+    contract as :func:`minhash_dedup_pairs` restricted to pairs with at
+    least one new doc (pinned in tests: batched ingest ≡ one-shot
+    recompute minus pre-existing corpus-internal pairs).
+
+    Scale shape: only the new batch is shingled/hashed (its banding frame
+    is cached — O(batch × bands) rows); the store's signature scan streams
+    through ONE (band, bucket) shuffle join per side, and the store's
+    shingle scan is semi-joined to candidate ids before any collect_set
+    (``_verify_pairs``), so corpus IO for the verify stage is proportional
+    to the candidate set, not the corpus. ``max_bucket`` here caps
+    collision groups by their STORE-side size (hot boilerplate clusters
+    live in the corpus; the cap is evaluated without waiting on the new
+    batch's counts)."""
+    spark = new_docs.sparkSession
+    m = spark.read.parquet(f"{path}/meta").first()
+    k, num_hashes = int(m["k"]), int(m["num_hashes"])
+    bands, rows = int(m["bands"]), int(m["rows"])
+
+    sh_new = hashed_shingles(new_docs, k, text_col).persist()
+    if cache_registry is not None:
+        cache_registry.append(sh_new)
+    # cached + eagerly materialized: consumed by the vs-store join AND both
+    # arms of the within-batch self-join (alias-only arms don't reuse
+    # exchanges; concurrent stages would each recompute a lazy cache)
+    stack_new = _band_stack(minhash_signatures(sh_new, num_hashes),
+                            bands, rows).persist()
+    if cache_registry is not None:
+        cache_registry.append(stack_new)
+    stack_new.count()
+
+    stack_old = _band_stack(
+        spark.read.parquet(f"{path}/signatures"), bands, rows)
+    stack_old = _cap_buckets(stack_old, max_bucket)
+
+    a = stack_new.select(F.col("doc_id").alias("da"), "band", "bucket")
+    b_old = stack_old.select(F.col("doc_id").alias("db"), "band", "bucket")
+    b_new = stack_new.select(F.col("doc_id").alias("db"), "band", "bucket")
+    cross = a.join(b_old, ["band", "bucket"]).select("da", "db")
+    within = a.join(b_new, ["band", "bucket"]) \
+              .filter(F.col("da") < F.col("db")).select("da", "db")
+    # least/greatest: a new doc's id can sort before OR after a corpus id,
+    # and the (d1 < d2) output contract must hold either way
+    cand = (cross.unionByName(within)
+                 .select(F.least("da", "db").alias("d1"),
+                         F.greatest("da", "db").alias("d2"))
+                 .filter(F.col("d1") != F.col("d2"))
+                 .distinct().persist())
+    if cache_registry is not None:
+        cache_registry.append(cand)
+    cand.count()        # feeds three verify branches (see minhash_dedup_pairs)
+
+    sh_all = sh_new.unionByName(spark.read.parquet(f"{path}/shingles"))
+    return _verify_pairs(sh_all, cand, threshold)
 
 
 # ---------------------------------------------------------------- SimHash ----

@@ -1,0 +1,76 @@
+"""Incremental MinHash dedup store (build/append/query vs one-shot parity).
+
+The pinned contract: ingesting the corpus in batches against a persisted
+signature store emits exactly the pairs a one-shot ``minhash_dedup_pairs``
+over the full corpus would, minus the pairs internal to the pre-existing
+corpus (which earlier ingests already emitted). Band keys and exact-Jaccard
+verification are deterministic, so the equality is exact, values included.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyanomalydetector_spark.operators.dedup import (
+    build_minhash_store, append_to_minhash_store, minhash_dedup_pairs,
+    minhash_pairs_vs_store,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _keyed(rows):
+    return sorted((r["d1"], r["d2"], round(r["jaccard"], 9)) for r in rows)
+
+
+def test_batched_ingest_equals_one_shot(spark, docs, tmp_path_factory):
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    corpus = docs.filter(part == 0)
+    batch1 = docs.filter(part == 1)
+    batch2 = docs.filter(part == 2)
+    assert 0 < batch1.count() < docs.count()
+
+    path = str(tmp_path_factory.mktemp("mh") / "store")
+    build_minhash_store(corpus, path)
+
+    reg = []
+    p1 = _keyed(minhash_pairs_vs_store(batch1, path,
+                                       cache_registry=reg).collect())
+    append_to_minhash_store(batch1, path)
+    p2 = _keyed(minhash_pairs_vs_store(batch2, path,
+                                       cache_registry=reg).collect())
+    for f in reg:
+        f.unpersist()
+
+    full = minhash_dedup_pairs(docs)
+    corpus_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    expected = _keyed([r for r in full.collect()
+                       if not (r["d1"] in corpus_ids
+                               and r["d2"] in corpus_ids)])
+    assert sorted(p1 + p2) == expected
+    # the two batch reports never overlap (a pair is emitted exactly once)
+    assert not set(p1) & set(p2)
+
+
+def test_store_pins_hash_family(spark, docs, tmp_path_factory):
+    """Query params come from the store's meta row — a store built with a
+    non-default family is queried with that family, not the defaults."""
+    path = str(tmp_path_factory.mktemp("mh") / "store")
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    build_minhash_store(docs.filter(part == 0), path,
+                        k=4, num_hashes=24, bands=8, rows=3)
+    reg = []
+    got = _keyed(minhash_pairs_vs_store(docs.filter(part != 0), path,
+                                        cache_registry=reg).collect())
+    for f in reg:
+        f.unpersist()
+    full = minhash_dedup_pairs(docs, k=4, num_hashes=24, bands=8, rows=3)
+    old_ids = {r["doc_id"]
+               for r in docs.filter(part == 0).select("doc_id").collect()}
+    expected = _keyed([r for r in full.collect()
+                       if not (r["d1"] in old_ids and r["d2"] in old_ids)])
+    assert got == expected
