@@ -183,14 +183,15 @@ def _q_seq_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_with_eos").cast("bigint").alias("total_with_eos"),
         F.floor(F.col("total_with_eos") / ctx).cast("bigint")
          .alias("n_contexts"),
-        # Engine-portable 6-decimal rounding: round-half-up in pure integer
-        # arithmetic (k = (rem*2e6 + tot) div (2*tot)), then k/1e6 — IEEE
-        # division of identical integers is correctly rounded, so Spark and
-        # DuckDB land on the same double bit pattern (Spark round() uses
-        # BigDecimal HALF_UP and can differ by one ULP from DuckDB ROUND).
-        (F.expr(f"(pmod(total_with_eos, {ctx}) * 2000000 + total_with_eos) "
-                f"div (2 * total_with_eos)") / F.lit(1000000.0))
-         .alias("tail_waste_frac"))
+        # Tail waste as an INTEGER micro-fraction (round-half-up of
+        # frac*1e6, k = (rem*2e6 + tot) div (2*tot)): r02/r03 showed a
+        # persistent driver-side hash mismatch on the double-valued column
+        # even after the arithmetic was bit-exact locally, so the emitted
+        # value is now pure-integer end to end — no float identity to agree
+        # on.  Divide by 1e6 client-side if a fraction is wanted.
+        F.expr(f"(pmod(total_with_eos, {ctx}) * 2000000 + total_with_eos) "
+               f"div (2 * total_with_eos)").cast("bigint")
+         .alias("tail_waste_micros"))
 
 
 def _q_seq_packing_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2039,12 +2040,12 @@ def oracle_sql() -> dict[str, str]:
                    SUM(n_tok) + COUNT(*) AS total_with_eos,
                    CAST(FLOOR((SUM(n_tok) + COUNT(*)) / 2048.0) AS BIGINT)
                        AS n_contexts,
-                   -- integer round-half-up to 6 dp, then /1e6: bit-identical
-                   -- to the Spark query's arithmetic (see _q_seq_packing_stats)
-                   ((((SUM(n_tok) + COUNT(*)) % 2048) * 2000000
+                   -- integer round-half-up micro-fraction (frac*1e6): pure
+                   -- BIGINT on both engines, no double identity involved
+                   CAST((((SUM(n_tok) + COUNT(*)) % 2048) * 2000000
                      + (SUM(n_tok) + COUNT(*)))
-                    // (2 * (SUM(n_tok) + COUNT(*)))) / 1000000.0
-                       AS tail_waste_frac
+                    // (2 * (SUM(n_tok) + COUNT(*))) AS BIGINT)
+                       AS tail_waste_micros
             FROM {_SEQ}
             GROUP BY source
         """,
