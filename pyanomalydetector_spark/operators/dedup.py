@@ -341,18 +341,49 @@ def build_minhash_store(docs: DataFrame, path: str, k: int = 3,
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def _check_store_ids_disjoint(docs: DataFrame, path: str, op: str) -> None:
+    """Fail loudly if a batch re-ingests a doc_id already in the store.
+
+    The store APIs require batch/store id-disjointness: a duplicated id
+    would merge both versions' shingles into one ``collect_set`` inside
+    ``_verify_pairs``, silently corrupting every Jaccard touching that doc.
+    Cost: one doc_id-pruned scan of the signatures asset semi-joined to the
+    batch ids (no payload moves); pass ``check_disjoint=False`` to skip it
+    when the pipeline guarantees fresh ids."""
+    store_ids = docs.sparkSession.read.parquet(f"{path}/signatures") \
+                    .select("doc_id")
+    dup = store_ids.join(docs.select("doc_id").distinct(),
+                         "doc_id", "left_semi")
+    sample = [r["doc_id"] for r in dup.limit(5).collect()]
+    if sample:
+        raise ValueError(
+            f"{op}: batch re-ingests doc_ids already present in the store "
+            f"at {path} (sample: {sample}) — duplicated ids would silently "
+            f"corrupt Jaccard verification; dedupe the batch ids first or "
+            f"pass check_disjoint=False if this is intentional")
+
+
 def append_to_minhash_store(docs: DataFrame, path: str,
-                            text_col: str = "text") -> None:
+                            text_col: str = "text",
+                            check_disjoint: bool = True) -> None:
     """Fold an ingested batch into the store (parquet append on both
     assets). Call AFTER its pairs were emitted, so later batches dedup
     against it. Params come from ``<path>/meta`` — the caller cannot
-    drift the hash family."""
+    drift the hash family.
+
+    Shingles are appended BEFORE signatures: the two appends are not
+    atomic, and a shingles-only doc is harmless (it never bands into a
+    candidate), whereas a signature-only doc would silently drop every
+    pair touching it at verify time. Re-ingested ids fail loudly (see
+    :func:`_check_store_ids_disjoint`)."""
+    if check_disjoint:
+        _check_store_ids_disjoint(docs, path, "append_to_minhash_store")
     m = docs.sparkSession.read.parquet(f"{path}/meta").first()
     sh = hashed_shingles(docs, int(m["k"]), text_col).persist()
     try:
+        sh.write.mode("append").parquet(f"{path}/shingles")
         minhash_signatures(sh, int(m["num_hashes"])) \
             .write.mode("append").parquet(f"{path}/signatures")
-        sh.write.mode("append").parquet(f"{path}/shingles")
     finally:
         sh.unpersist()
 
@@ -360,7 +391,8 @@ def append_to_minhash_store(docs: DataFrame, path: str,
 def minhash_pairs_vs_store(new_docs: DataFrame, path: str,
                            threshold: float = 0.8, text_col: str = "text",
                            cache_registry: list | None = None,
-                           max_bucket: int | None = None) -> DataFrame:
+                           max_bucket: int | None = None,
+                           check_disjoint: bool = True) -> DataFrame:
     """Near-dup pairs TOUCHING the new batch — new-vs-corpus and
     new-vs-new — against a :func:`build_minhash_store` layout. Same output
     contract as :func:`minhash_dedup_pairs` restricted to pairs with at
@@ -375,8 +407,14 @@ def minhash_pairs_vs_store(new_docs: DataFrame, path: str,
     to the candidate set, not the corpus. ``max_bucket`` here caps
     collision groups by their STORE-side size (hot boilerplate clusters
     live in the corpus; the cap is evaluated without waiting on the new
-    batch's counts)."""
+    batch's counts).
+
+    Precondition: batch doc_ids are DISJOINT from the store's (enforced by
+    default — re-ingested ids would merge two shingle sets into one doc at
+    verify time; see :func:`_check_store_ids_disjoint`)."""
     spark = new_docs.sparkSession
+    if check_disjoint:
+        _check_store_ids_disjoint(new_docs, path, "minhash_pairs_vs_store")
     m = spark.read.parquet(f"{path}/meta").first()
     k, num_hashes = int(m["k"]), int(m["num_hashes"])
     bands, rows = int(m["bands"]), int(m["rows"])

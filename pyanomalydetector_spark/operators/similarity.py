@@ -321,17 +321,37 @@ def assign_cells(emb: DataFrame, cents, vec_col: str = "embedding",
     return emb.mapInPandas(assign, out_schema)
 
 
+def _codebook_frame(spark, cents, cell_col: str = "_cell") -> DataFrame:
+    """Trained centroid matrix → the probe-side frame
+    ``(cell_col, _cv, _cnorm)`` — the ONE centroid definition every trained
+    path probes with (see :func:`ivf_topk_trained` / :func:`ivf_topk_indexed`)."""
+    cb = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        f"{cell_col} int, _cv array<double>")
+    return cb.withColumn("_cnorm", _norm(F.col("_cv")))
+
+
 def ivf_topk_trained(emb: DataFrame, query_ids: list[int], k: int = 5,
                      n_probe: int = 3, n_cells: int = 16, n_iters: int = 5,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id") -> DataFrame:
     """IVF ANN over a TRAINED k-means codebook (not the fixture ``label``):
     train → assign → probe the n_probe nearest cells per query, exact-search
-    only those cells. Recall vs :func:`cosine_topk` asserted in tests."""
+    only those cells. Recall vs :func:`cosine_topk` asserted in tests.
+
+    Probing uses the trained unit-norm codebook itself (the SAME centroid
+    definition :func:`ivf_topk_indexed` persists and probes with — not a
+    recomputed raw per-cell mean), so indexed ≡ trained holds by
+    construction, for any dataset."""
     cents = train_ivf_codebook(emb, n_cells, n_iters, vec_col, id_col)
     assigned = assign_cells(emb, cents, vec_col)
-    return ivf_topk(assigned, query_ids, k, n_probe, cell_col="_cell",
-                    vec_col=vec_col, id_col=id_col)
+    cb = _codebook_frame(emb.sparkSession, cents)
+    base = with_norm(assigned, vec_col).select(id_col, "_cell", "_v", "_norm")
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"))
+    probes = _probe_cells(q, cb, n_probe, "_cell")
+    return _exact_search_cells(base, probes, k, "_cell", id_col)
 
 
 def _probe_cells(q: DataFrame, cents: DataFrame, n_probe: int,
@@ -427,7 +447,12 @@ def ivf_topk_indexed(spark, path: str, query_ids: list[int], k: int = 5,
     collected first (≤ queries × n_probe ints) so the filter is a literal
     ``isin`` and Hive partition pruning drops every unprobed cell's files
     statically (``PartitionFilters`` in the scan, pinned in tests) rather
-    than relying on runtime DPP."""
+    than relying on runtime DPP.
+
+    The probes frame is bounded (queries × n_probe rows) and consumed twice,
+    so it is collected ONCE and rebuilt as a local frame — no persist, no
+    cached-RDD leak in long-lived sessions. ``cache_registry`` is kept for
+    API compatibility but nothing is registered anymore."""
     cents = spark.read.parquet(f"{path}/codebook") \
         .select(F.col("cell").alias("_cell"), F.col("centroid").alias("_cv")) \
         .withColumn("_cnorm", _norm(F.col("_cv")))
@@ -437,14 +462,10 @@ def ivf_topk_indexed(spark, path: str, query_ids: list[int], k: int = 5,
         F.col(id_col).alias("q_id"), F.col("_v").alias("_qv"),
         F.col("_norm").alias("_qnorm"))
 
-    # persisted because it is consumed twice (cell-set collect + the search
-    # join); tiny (queries × n_probe rows). Long-lived callers pass
-    # cache_registry to unpersist when done.
-    probes = _probe_cells(q, cents, n_probe, "_cell").persist()
-    if cache_registry is not None:
-        cache_registry.append(probes)
-    probed = sorted({r["_cell"] for r in
-                     probes.select("_cell").distinct().collect()})
+    probe_plan = _probe_cells(q, cents, n_probe, "_cell")
+    rows = probe_plan.collect()          # bounded: queries × n_probe
+    probes = spark.createDataFrame(rows, probe_plan.schema)
+    probed = sorted({r["_cell"] for r in rows})
     pruned = base.filter(F.col("_cell").isin(probed))
     return _exact_search_cells(pruned, probes, k, "_cell", id_col)
 

@@ -74,3 +74,21 @@ def test_store_pins_hash_family(spark, docs, tmp_path_factory):
     expected = _keyed([r for r in full.collect()
                        if not (r["d1"] in old_ids and r["d2"] in old_ids)])
     assert got == expected
+
+
+def test_reingested_ids_fail_loudly(spark, docs, tmp_path_factory):
+    """A batch sharing doc_ids with the store would silently corrupt the
+    Jaccard verify stage (two shingle sets merged into one doc) — both the
+    query and the append must refuse it up front."""
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    corpus, overlap = docs.filter(part == 0), docs.filter(part != 2)
+    path = str(tmp_path_factory.mktemp("mh") / "store")
+    build_minhash_store(corpus, path)
+    with pytest.raises(ValueError, match="re-ingests doc_ids"):
+        minhash_pairs_vs_store(overlap, path).collect()
+    with pytest.raises(ValueError, match="re-ingests doc_ids"):
+        append_to_minhash_store(overlap, path)
+    # the opt-out still works for pipelines that guarantee fresh ids
+    clean = docs.filter(part == 1)
+    assert minhash_pairs_vs_store(
+        clean, path, check_disjoint=False).collect() is not None
