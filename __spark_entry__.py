@@ -229,6 +229,29 @@ def _q_seq_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_99", 6).alias("p_99"))
 
 
+def _q_seq_length_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10¹²-row percentile path: ``approx_percentile`` — a bounded
+    MERGEABLE sketch per group (map-side combinable, same shuffle shape as
+    the moment aggregates), unlike the exact path whose sort-based
+    aggregation buffers each group.
+
+    Oracle: at this fixture's group sizes (≪ the sketch's accuracy=10000
+    capacity) the GK sketch is LOSSLESS and returns exactly the
+    lower-discrete quantile element — DuckDB ``quantile_disc`` — regardless
+    of partitioning/merge order (verified repartition-stable), so the match
+    is a hash-exact contract, not a tolerance. The lossy-regime accuracy
+    (rank error ≤ n/accuracy at n ≫ capacity) is pinned separately in
+    tests/test_stats.py."""
+    from pyanomalydetector_spark.functions.stats import length_percentiles
+    seq = load_sequences(spark, sf_dir)
+    out = length_percentiles(seq, ["source"], "n_tok", exact=False)
+    return out.select(
+        F.col("source").alias("partition_id"),
+        F.col("p_50").cast("bigint").alias("p_50"),
+        F.col("p_90").cast("bigint").alias("p_90"),
+        F.col("p_99").cast("bigint").alias("p_99"))
+
+
 def _q_seq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI of per-partition n_tok distribution vs whole-table baseline."""
     seq = load_sequences(spark, sf_dir)
@@ -453,6 +476,36 @@ def _q_doc_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_doc_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched-ingest dedup — the shape a 100 TB pipeline actually runs:
+    half the corpus (even doc_ids) is a persisted MinHash signature store
+    (build_minhash_store: signatures + shingles + pinned hash-family meta);
+    the other half arrives as a batch and is deduped against the store
+    WITHOUT re-reading the corpus text (minhash_pairs_vs_store: only the
+    batch is shingled/hashed; store shingles are semi-joined to candidates
+    before any collect_set). Output = near-dup pairs touching the batch.
+    Oracle: the brute-force Jaccard SQL restricted to pairs with ≥1 odd
+    doc_id — batched ingest ≡ one-shot recompute minus corpus-internal
+    pairs (also pinned in tests/test_dedup_incremental.py)."""
+    import tempfile
+    from pyanomalydetector_spark.operators.dedup import (
+        build_minhash_store, minhash_pairs_vs_store,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    batch = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    path = tempfile.mkdtemp(prefix="mhstore_q_") + "/store"
+    build_minhash_store(corpus, path, k=3)
+    reg: list = []
+    out = minhash_pairs_vs_store(batch, path, threshold=0.8,
+                                 cache_registry=reg).select(
+        F.col("d1").cast("bigint"), F.col("d2").cast("bigint"),
+        F.round("jaccard", 6).alias("jaccard")).localCheckpoint()
+    for f in reg:
+        f.unpersist()
+    return out
+
+
 def _q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup completion stage: near-dup pairs → duplicate CLUSTERS via
     distributed min-label propagation (connected components); each doc maps
@@ -567,6 +620,31 @@ def _q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk_trained(emb, ANN_QUERY_IDS, k=5, n_probe=16,
                             n_cells=16, n_iters=4).select(
+        F.col("q_id").cast("bigint"), F.col("vec_id").cast("bigint"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("bigint").alias("rank"))
+
+
+def _q_emb_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF index serving path (build-once/query-many — what
+    ANN at 10¹² vectors actually runs): train the codebook, lay the corpus
+    out as cell-partitioned parquet, then answer the query batch from the
+    index — the probed-cell set becomes a literal partition filter, so
+    serving IO is ~n_probe/n_cells of the corpus (PartitionFilters pruning
+    pinned in tests/test_ivf_index.py). Probing ALL cells here makes the
+    result exactly the brute-force top-k (same invariant as emb_ann_ivf:
+    the persisted layout loses/duplicates no vector), so the exact top-k
+    SQL is the oracle; the pruning plan shape is identical at n_probe <
+    n_cells."""
+    import tempfile
+    from pyanomalydetector_spark.operators.similarity import (
+        build_ivf_index, ivf_topk_indexed,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfidx_q_") + "/index"
+    build_ivf_index(emb, path, n_cells=16, n_iters=4)
+    return ivf_topk_indexed(spark, path, ANN_QUERY_IDS, k=5,
+                            n_probe=16).select(
         F.col("q_id").cast("bigint"), F.col("vec_id").cast("bigint"),
         F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("bigint").alias("rank"))
@@ -899,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing_assignment": _q_seq_packing_assignment,
         "seq_top_tokens": _q_seq_top_tokens,
         "seq_length_percentiles": _q_seq_length_percentiles,
+        "seq_length_percentiles_sketch": _q_seq_length_percentiles_sketch,
         "seq_drift_psi": _q_seq_drift_psi,
         "seq_drift_ks": _q_seq_drift_ks,
         "seq_token_invariant": _q_seq_token_invariant,
@@ -921,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_dedup_minhash": _q_doc_dedup_minhash,
+        "doc_dedup_minhash_incr": _q_doc_dedup_minhash_incr,
         "doc_dup_clusters": _q_doc_dup_clusters,
         "doc_contamination": _q_doc_contamination,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
@@ -930,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_cosine_pairs": _q_emb_cosine_pairs,
         "emb_ann_ivf": _q_emb_ann_ivf,
+        "emb_ann_ivf_indexed": _q_emb_ann_ivf_indexed,
         "ev_cluster": _q_ev_cluster,
         "seq_checkpoint_resume": _q_seq_checkpoint_resume,
         "seq_stream_validate": _q_seq_stream_validate,
@@ -1770,6 +1851,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_ngram_jaccard": _JACCARD_SQL,
         "doc_dedup_minhash": _JACCARD_SQL,
+        # batched ingest ≡ one-shot recompute restricted to pairs touching
+        # the batch (odd doc_ids) — corpus-internal pairs were the earlier
+        # ingest's output
+        "doc_dedup_minhash_incr": f"""
+            SELECT d1, d2, jaccard FROM ({_JACCARD_SQL}) j
+            WHERE d1 % 2 = 1 OR d2 % 2 = 1
+        """,
         # connected components = transitive closure (recursive CTE) over the
         # same near-dup pair edges; representative = min reachable id
         "doc_dup_clusters": f"""
@@ -1902,6 +1990,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_topk": _ANN_TOPK_SQL,
         # full-probe IVF ≡ exact top-k (see _q_emb_ann_ivf): same oracle
         "emb_ann_ivf": _ANN_TOPK_SQL,
+        # full-probe over the PERSISTED index ≡ exact top-k (the layout
+        # loses/duplicates no vector) — same oracle again
+        "emb_ann_ivf_indexed": _ANN_TOPK_SQL,
         "emb_cosine_pairs": """
             WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT d1, d2, ROUND(cos_sim, 6) AS cos_sim FROM (
@@ -2065,6 +2156,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(n_tok, 0.5), 6) AS p_50,
                    ROUND(quantile_cont(n_tok, 0.9), 6) AS p_90,
                    ROUND(quantile_cont(n_tok, 0.99), 6) AS p_99
+            FROM {_SEQ}
+            GROUP BY source
+        """,
+        # lossless-regime sketch ≡ lower-discrete quantile element (see
+        # _q_seq_length_percentiles_sketch)
+        "seq_length_percentiles_sketch": f"""
+            SELECT source AS partition_id,
+                   CAST(quantile_disc(n_tok, 0.5) AS BIGINT) AS p_50,
+                   CAST(quantile_disc(n_tok, 0.9) AS BIGINT) AS p_90,
+                   CAST(quantile_disc(n_tok, 0.99) AS BIGINT) AS p_99
             FROM {_SEQ}
             GROUP BY source
         """,
