@@ -91,6 +91,20 @@ def _media_sql() -> str:
     return _MEDIA_CACHE
 
 
+_EMBC_CACHE: str | None = None
+
+
+def _embc_sql() -> str:
+    global _EMBC_CACHE
+    if _EMBC_CACHE is None:
+        from pyanomalydetector_spark.sources.embeddings import (
+            synthesize_clustered_embeddings,
+        )
+        _EMBC_CACHE = (
+            f"read_parquet('{synthesize_clustered_embeddings(SF01)}')")
+    return _EMBC_CACHE
+
+
 def _allowed_sources(seq: DataFrame) -> list[str]:
     return sorted(
         r["source"]
@@ -625,6 +639,37 @@ def _q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank"))
 
 
+def _q_emb_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH — the 100 TB
+    candidate route (O(collisions), never the O(N²) tile grid) — on the
+    CLUSTERED fixture (sources/embeddings.py: planted near-dup clusters at
+    cosine ≥ 0.92 over an isotropic background maxing out at ~0.64; the
+    driver's embeddings table is isotropic, where a 0.9 threshold has no
+    qualifying pairs and any LSH is vacuously 'correct').
+
+    Oracle = the exact all-pairs SQL at the same threshold: candidates are
+    exact-verified so precision is structurally 1.0, and recall is exact
+    here because at 50 bands × 10 rows the per-pair miss probability at
+    cosine ≥ 0.92 is (1 − p¹⁰)⁵⁰ ≈ 4·10⁻⁷ — and the hyperplane family is
+    seed-pinned, so the (verified) zero-miss outcome is deterministic, not
+    a per-run gamble."""
+    from pyanomalydetector_spark.operators.similarity import (
+        cosine_pairs_above_lsh,
+    )
+    from pyanomalydetector_spark.sources.embeddings import (
+        load_clustered_embeddings,
+    )
+    emb = load_clustered_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    reg: list = []
+    out = cosine_pairs_above_lsh(emb, threshold=0.9, n_bits=500, bands=50,
+                                 cache_registry=reg).select(
+        F.col("d1").cast("bigint"), F.col("d2").cast("bigint"),
+        F.round("cos_sim", 6).alias("cos_sim")).localCheckpoint()
+    for f in reg:
+        f.unpersist()
+    return out
+
+
 def _q_emb_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED IVF index serving path (build-once/query-many — what
     ANN at 10¹² vectors actually runs): train the codebook, lay the corpus
@@ -1011,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_pairs": _q_emb_cosine_pairs,
         "emb_ann_ivf": _q_emb_ann_ivf,
         "emb_ann_ivf_indexed": _q_emb_ann_ivf_indexed,
+        "emb_cosine_lsh": _q_emb_cosine_lsh,
         "ev_cluster": _q_ev_cluster,
         "seq_checkpoint_resume": _q_seq_checkpoint_resume,
         "seq_stream_validate": _q_seq_stream_validate,
@@ -1993,6 +2039,20 @@ def oracle_sql() -> dict[str, str]:
         # full-probe over the PERSISTED index ≡ exact top-k (the layout
         # loses/duplicates no vector) — same oracle again
         "emb_ann_ivf_indexed": _ANN_TOPK_SQL,
+        # LSH candidate route ≡ exact all-pairs on the clustered fixture
+        # (precision 1.0 by exact-verify; recall deterministic at these
+        # banding params — see _q_emb_cosine_lsh)
+        "emb_cosine_lsh": f"""
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                          FROM {_embc_sql()}),
+            n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv
+                  FROM base)
+            SELECT d1, d2, ROUND(cos_sim, 6) AS cos_sim FROM (
+                SELECT a.vec_id AS d1, b.vec_id AS d2,
+                       list_dot_product(a.v, b.v) / (a.nv * b.nv) AS cos_sim
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.9
+        """,
         "emb_cosine_pairs": """
             WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT d1, d2, ROUND(cos_sim, 6) AS cos_sim FROM (
