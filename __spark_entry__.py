@@ -214,7 +214,10 @@ def _q_seq_packing_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing shards — see functions/stats.py:packing_assignment)."""
     from pyanomalydetector_spark.functions.stats import packing_assignment
     seq = load_sequences(spark, sf_dir)
-    return packing_assignment(seq, ctx=2048)
+    # n_buckets: the DISTRIBUTED two-phase prefix sum — a whale source runs
+    # as up to 32 parallel window tasks instead of one (identical output;
+    # single-path ≡ two-phase pinned in tests/test_stats.py)
+    return packing_assignment(seq, ctx=2048, n_buckets=32)
 
 
 def _q_seq_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -199,7 +199,8 @@ def length_percentiles(df, keys: list[str], value_col: str,
 
 
 def packing_assignment(seq, ctx: int = 2048, partition_col: str = "source",
-                       id_col: str = "doc_id", len_col: str = "n_tok"):
+                       id_col: str = "doc_id", len_col: str = "n_tok",
+                       n_buckets: int | None = None):
     """Greedy concat-and-chunk context assignment — the packing PLAN that
     :func:`seq_packing_stats`' accounting summarizes: documents are laid
     out in deterministic id order within each partition (with one EOS
@@ -207,24 +208,60 @@ def packing_assignment(seq, ctx: int = 2048, partition_col: str = "source",
     packed token stream, the context it starts in, and its offset inside
     that context.
 
-    Scale shape: ONE shuffle (the window partition). The prefix sum within
-    a partition is inherently sequential — which is exactly how web-scale
-    packing runs: partitions are the packing shards (pack-within-shard
-    after sharding), so parallelism = #shards and no shard ever needs
-    another shard's offsets. Returns
-    ``(partition_id, doc_id, start_offset, context_id, offset_in_context)``.
+    Scale shape, ``n_buckets=None``: ONE shuffle (the window partition);
+    the prefix sum within a partition is one sequential task — fine when
+    partitions are real packing shards (pack-within-shard), a straggler if
+    one whale source dominates.
+
+    ``n_buckets=B``: the classic DISTRIBUTED prefix sum. The narrow
+    ``(partition, id, len)`` projection is range-partitioned on
+    ``(partition, id)`` into B order-contiguous buckets (pinned once via
+    ``localCheckpoint`` — both downstream consumers must see the SAME
+    sampled range boundaries), then (1) a per-(partition, bucket) local
+    prefix window, (2) per-bucket subtotals — an O(B + #partitions) frame
+    — cumulated per partition, (3) a broadcast join adds each bucket's
+    offset to its local prefixes. A whale source now runs as up to B
+    parallel window tasks instead of one; results are identical by
+    construction (range buckets preserve the global (partition, id) order).
+
+    Returns ``(partition_id, doc_id, start_offset, context_id,
+    offset_in_context)``.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = (Window.partitionBy(partition_col).orderBy(id_col)
-               .rowsBetween(Window.unboundedPreceding, -1))
-    start = F.coalesce(F.sum(F.col(len_col) + 1).over(w), F.lit(0)) \
-             .cast("bigint")
-    return seq.select(
-        F.col(partition_col).alias("partition_id"),
-        F.col(id_col).alias("doc_id"),
-        start.alias("start_offset"),
-        F.floor(start / ctx).cast("bigint").alias("context_id"),
-        F.pmod(start, F.lit(ctx)).cast("bigint").alias("offset_in_context"),
-    )
+    def finalize(frame, start):
+        start = start.cast("bigint")
+        return frame.select(
+            F.col(partition_col).alias("partition_id"),
+            F.col(id_col).alias("doc_id"),
+            start.alias("start_offset"),
+            F.floor(start / ctx).cast("bigint").alias("context_id"),
+            F.pmod(start, F.lit(ctx)).cast("bigint")
+             .alias("offset_in_context"),
+        )
+
+    if not n_buckets:
+        w = (Window.partitionBy(partition_col).orderBy(id_col)
+                   .rowsBetween(Window.unboundedPreceding, -1))
+        return finalize(seq, F.coalesce(
+            F.sum(F.col(len_col) + 1).over(w), F.lit(0)))
+
+    narrow = seq.select(partition_col, id_col, len_col)
+    b = (narrow.repartitionByRange(n_buckets, F.col(partition_col),
+                                   F.col(id_col))
+               .withColumn("_bkt", F.spark_partition_id())
+               .localCheckpoint())
+    wl = (Window.partitionBy(partition_col, "_bkt").orderBy(id_col)
+                .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.coalesce(F.sum(F.col(len_col) + 1).over(wl), F.lit(0))
+    totals = b.groupBy(partition_col, "_bkt").agg(
+        F.sum(F.col(len_col) + 1).cast("bigint").alias("_btot"))
+    wo = (Window.partitionBy(partition_col).orderBy("_bkt")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        partition_col, "_bkt",
+        F.coalesce(F.sum("_btot").over(wo), F.lit(0)).cast("bigint")
+         .alias("_boff"))
+    j = b.join(F.broadcast(offsets), [partition_col, "_bkt"])
+    return finalize(j, F.col("_boff") + local)

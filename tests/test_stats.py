@@ -139,3 +139,42 @@ def test_packing_assignment_invariants(spark, sf_dir):
         # agreement with the packing-stats accounting
         assert rs[-1]["start_offset"] + lens[(part, rs[-1]["doc_id"])] + 1 \
             == total
+
+
+def test_packing_two_phase_equals_single_on_whale_source(spark):
+    """The distributed (two-phase) prefix sum must emit exactly the
+    single-window assignment, AND actually parallelize a whale source: the
+    heavy window keys on (source, bucket) over range-contiguous buckets,
+    so one source that is 99% of the corpus runs as many window tasks."""
+    from pyspark.sql import functions as F
+
+    from pyanomalydetector_spark.functions.stats import packing_assignment
+
+    whale = spark.range(20000).select(
+        F.lit("whale").alias("source"),
+        F.format_string("doc_%08d", F.col("id")).alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(400)) + 1).cast("int").alias("n_tok"))
+    minnow = spark.range(10).select(
+        F.lit("minnow").alias("source"),
+        F.format_string("doc_%08d", F.col("id")).alias("doc_id"),
+        F.lit(7).cast("int").alias("n_tok"))
+    seq = whale.unionByName(minnow)
+
+    def keyed(df):
+        return sorted((r["partition_id"], r["doc_id"], r["start_offset"],
+                       r["context_id"], r["offset_in_context"])
+                      for r in df.collect())
+
+    single = keyed(packing_assignment(seq, ctx=2048))
+    two = packing_assignment(seq, ctx=2048, n_buckets=16)
+    assert keyed(two) == single
+
+    # parallelism evidence: the local-prefix window partitions on
+    # (source, _bkt), and the whale's rows land in >1 range bucket
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan
+    narrow = seq.repartitionByRange(16, F.col("source"), F.col("doc_id")) \
+                .withColumn("_bkt", F.spark_partition_id())
+    n_whale_buckets = narrow.filter(F.col("source") == "whale") \
+                            .select("_bkt").distinct().count()
+    assert n_whale_buckets > 1, n_whale_buckets
