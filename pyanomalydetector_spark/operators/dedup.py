@@ -42,6 +42,23 @@ def word_hash(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def _parallelize_narrow_scan(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition the doc scan IF it under-splits the cores.
+
+    The shingle/fingerprint kernels are compute-heavy per input row
+    (per-word hashing, k-gram rolling) while the input scan is byte-cheap —
+    a corpus file smaller than one parquet row group yields ONE split, and
+    everything up to the first shuffle runs single-threaded. At real corpus
+    scale splits ≫ cores and this guard is a no-op (the condition is
+    false); on a small/under-split input the one narrow-payload shuffle
+    buys scan-stage parallelism for the expensive compute above it
+    (measured 2.3 s → 0.2 s shingle materialization at sf0.1)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= max(2, target // 2):
+        return docs
+    return docs.repartition(target)
+
+
 # ------------------------------------------------------------------ exact ----
 
 def exact_duplicate_groups(df: DataFrame, content_cols: list[str],
@@ -153,7 +170,7 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
 def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
                   text_col: str = "text") -> DataFrame:
     """Brute n-gram Jaccard near-dup pairs: ``(d1, d2, jaccard)``, j ≥ t."""
-    sh = shingles(docs, k, text_col)
+    sh = shingles(_parallelize_narrow_scan(docs), k, text_col)
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold) \
                             .select("d1", "d2", "jaccard")
 
@@ -243,7 +260,7 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     the exact-verify pass); long-lived callers pass ``cache_registry`` to
     collect it for unpersist after the result is materialized.
     """
-    sh = hashed_shingles(docs, k, text_col).persist()
+    sh = hashed_shingles(_parallelize_narrow_scan(docs), k, text_col).persist()
     if cache_registry is not None:
         cache_registry.append(sh)
     # persist the signature frame (doc_id + num_hashes longs — tiny): both
@@ -328,7 +345,7 @@ def build_minhash_store(docs: DataFrame, path: str, k: int = 3,
     folds the batch in afterwards — the corpus text itself is never re-read.
     """
     spark = docs.sparkSession
-    sh = hashed_shingles(docs, k, text_col).persist()
+    sh = hashed_shingles(_parallelize_narrow_scan(docs), k, text_col).persist()
     try:
         minhash_signatures(sh, num_hashes) \
             .write.mode("overwrite").parquet(f"{path}/signatures")
@@ -379,7 +396,8 @@ def append_to_minhash_store(docs: DataFrame, path: str,
     if check_disjoint:
         _check_store_ids_disjoint(docs, path, "append_to_minhash_store")
     m = docs.sparkSession.read.parquet(f"{path}/meta").first()
-    sh = hashed_shingles(docs, int(m["k"]), text_col).persist()
+    sh = hashed_shingles(_parallelize_narrow_scan(docs),
+                         int(m["k"]), text_col).persist()
     try:
         sh.write.mode("append").parquet(f"{path}/shingles")
         minhash_signatures(sh, int(m["num_hashes"])) \
@@ -419,7 +437,8 @@ def minhash_pairs_vs_store(new_docs: DataFrame, path: str,
     k, num_hashes = int(m["k"]), int(m["num_hashes"])
     bands, rows = int(m["bands"]), int(m["rows"])
 
-    sh_new = hashed_shingles(new_docs, k, text_col).persist()
+    sh_new = hashed_shingles(_parallelize_narrow_scan(new_docs),
+                             k, text_col).persist()
     if cache_registry is not None:
         cache_registry.append(sh_new)
     # cached + eagerly materialized: consumed by the vs-store join AND both
@@ -508,7 +527,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     """
     n_bands = max_hamming + 1
     band_width = bits // n_bands
-    sh = simhash(docs, text_col, bits=bits).persist()
+    sh = simhash(_parallelize_narrow_scan(docs), text_col, bits=bits).persist()
     if cache_registry is not None:
         cache_registry.append(sh)
     sh.count()
@@ -616,7 +635,7 @@ def contamination_scores(docs: DataFrame, benchmark_docs: DataFrame,
     Returns ``(doc_id, n_shingles, n_hits, overlap)``; docs shorter than
     ``k`` words have no shingles and are omitted (nothing to match on).
     """
-    d = hashed_shingles(docs, k, text_col)
+    d = hashed_shingles(_parallelize_narrow_scan(docs), k, text_col)
     bench = hashed_shingles(benchmark_docs, k, text_col) \
         .select("sh").distinct()
     scored = d.join(F.broadcast(bench), "sh", "left_semi") \
