@@ -31,6 +31,10 @@ AUDIT = [
     "orders_semi_anti",
     "doc_dedup_exact", "doc_dedup_minhash", "doc_simhash_pairs",
     "doc_quality", "emb_ann_topk", "emb_cosine_pairs",
+    # round-4 scale paths with an inspectable returned plan (the LSH and
+    # incremental-minhash queries return a localCheckpoint scan — their
+    # pipeline plans are gated in tests instead)
+    "seq_length_percentiles_sketch", "emb_ann_ivf_indexed",
 ]
 
 JOIN_NODES = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
