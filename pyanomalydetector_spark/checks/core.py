@@ -259,7 +259,8 @@ def _unique_per_part(df: DataFrame, key: str, pcol: str,
 
     Kept as its own function so the plan gate in tests/test_explain_plans.py
     can assert the counts-exchange reuse on the LAZY plan (the check
-    checkpoints it eagerly, hiding the shared exchange from consumers).
+    persists it, hiding the shared exchange behind an InMemoryTableScan
+    from consumers).
     """
     if salt_buckets > 0:
         salted = df.select(
