@@ -652,10 +652,14 @@ def _q_emb_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle = the exact all-pairs SQL at the same threshold: candidates are
     exact-verified so precision is structurally 1.0, and recall is exact
-    here because at 50 bands × 10 rows the per-pair miss probability at
-    cosine ≥ 0.92 is (1 − p¹⁰)⁵⁰ ≈ 4·10⁻⁷ — and the hyperplane family is
-    seed-pinned, so the (verified) zero-miss outcome is deterministic, not
-    a per-run gamble."""
+    here because at 70 bands × 14 rows the per-pair miss probability at
+    cosine ≥ 0.92 is (1 − p¹⁴)⁷⁰ ≈ 1.5·10⁻⁵ (p = 1 − θ/π = 0.872) — and
+    the hyperplane family is seed-pinned, so the (verified) zero-miss
+    outcome is deterministic, not a per-run gamble. 14-bit bands beat the
+    earlier 10-bit ones on BACKGROUND collisions (2⁻¹⁴ vs 2⁻¹⁰ per random
+    pair per band — ~16× fewer false candidates, measured 9.6 s → 3.8 s at
+    8 000 vectors with identical output), the knob that decides whether
+    LSH stays sub-quadratic on an isotropic background."""
     from pyanomalydetector_spark.operators.similarity import (
         cosine_pairs_above_lsh,
     )
@@ -664,7 +668,7 @@ def _q_emb_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = load_clustered_embeddings(spark, sf_dir).select("vec_id", "embedding")
     reg: list = []
-    out = cosine_pairs_above_lsh(emb, threshold=0.9, n_bits=500, bands=50,
+    out = cosine_pairs_above_lsh(emb, threshold=0.9, n_bits=980, bands=70,
                                  cache_registry=reg).select(
         F.col("d1").cast("bigint"), F.col("d2").cast("bigint"),
         F.round("cos_sim", 6).alias("cos_sim")).localCheckpoint()
