@@ -292,3 +292,15 @@ def test_unique_rollup_reuses_counts_exchange(spark, sf_dir):
     for line in head.splitlines():
         if "ObjectHashAggregate" in line:
             assert "collect_list" in line, line
+
+
+def test_session_disables_call_site_capture(spark):
+    """Plan-construction fast path: pyspark 4's _with_origin decorator costs
+    ~4 py4j round trips on EVERY DataFrame/Column API call when
+    dataFrameDebugging is on (measured 1.5 s -> 0.65 s to BUILD the fused
+    suite plan with it off — session.py). The flag is read once per process
+    and cached, so a silent default flip would tax every plan build; pin it."""
+    assert spark.conf.get(
+        "spark.python.sql.dataFrameDebugging.enabled") == "false"
+    from pyspark.errors.utils import is_debugging_enabled
+    assert not is_debugging_enabled()
