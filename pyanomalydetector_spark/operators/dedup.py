@@ -31,6 +31,8 @@ of this engine's training-data charter (SURVEY.md §7.1).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -358,6 +360,20 @@ def build_minhash_store(docs: DataFrame, path: str, k: int = 3,
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def _read_store_meta(spark, path: str):
+    """The store's 1-row (k, num_hashes, bands, rows) pin. Read driver-side
+    via pyarrow when the store is on a local filesystem — a metadata lookup
+    should not cost a Spark job (one job ≈ 0.3-0.5 s of the serve path's
+    fixed latency); falls back to a Spark read for remote/DFS paths."""
+    meta_dir = f"{path}/meta"
+    if os.path.isdir(meta_dir):
+        import pyarrow.dataset as ds
+        # ds.dataset's default ignore_prefixes ('.', '_') skips _SUCCESS
+        return ds.dataset(meta_dir, format="parquet").to_table() \
+                 .to_pylist()[0]
+    return spark.read.parquet(meta_dir).first().asDict()
+
+
 def _check_store_ids_disjoint(docs: DataFrame, path: str, op: str) -> None:
     """Fail loudly if a batch re-ingests a doc_id already in the store.
 
@@ -395,7 +411,7 @@ def append_to_minhash_store(docs: DataFrame, path: str,
     :func:`_check_store_ids_disjoint`)."""
     if check_disjoint:
         _check_store_ids_disjoint(docs, path, "append_to_minhash_store")
-    m = docs.sparkSession.read.parquet(f"{path}/meta").first()
+    m = _read_store_meta(docs.sparkSession, path)
     sh = hashed_shingles(_parallelize_narrow_scan(docs),
                          int(m["k"]), text_col).persist()
     try:
@@ -433,7 +449,7 @@ def minhash_pairs_vs_store(new_docs: DataFrame, path: str,
     spark = new_docs.sparkSession
     if check_disjoint:
         _check_store_ids_disjoint(new_docs, path, "minhash_pairs_vs_store")
-    m = spark.read.parquet(f"{path}/meta").first()
+    m = _read_store_meta(spark, path)
     k, num_hashes = int(m["k"]), int(m["num_hashes"])
     bands, rows = int(m["bands"]), int(m["rows"])
 
