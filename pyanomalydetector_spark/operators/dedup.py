@@ -265,38 +265,42 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     sh = hashed_shingles(_parallelize_narrow_scan(docs), k, text_col).persist()
     if cache_registry is not None:
         cache_registry.append(sh)
-    # persist the signature frame (doc_id + num_hashes longs — tiny): both
-    # alias-only-different arms of the banding self-join consume it and
-    # ReuseExchange does not fire across them, so without the cache the
-    # num_hashes-agg signature aggregate + its shuffle execute once per arm.
-    # Interleaved A/B at sf0.1: the cache barrier COSTS ~0.3 s there (idle
-    # cores absorb the duplicate); it is kept because at corpus scale the
-    # duplicate is the second-largest shuffle in the pipeline, and a cache
-    # of 30 longs/doc read twice is strictly cheaper than computing and
-    # shuffling it twice
-    sig = minhash_signatures(sh, num_hashes).persist()
+    # Persist the BANDED stack, not the signature frame and not the
+    # candidate pairs. The stack is the true multi-consumer (both self-join
+    # arms + the candidate-id derivation below) and it is BOUNDED —
+    # O(docs × bands) rows of (doc_id, band, bucket). The candidate PAIR
+    # list, by contrast, is unbounded (30-50 % dup corpora make it
+    # O(collision pairs) — billions of rows), so caching it, as an earlier
+    # version did, is a memory liability at exactly the corpora dedup is
+    # for. Eager count: the consumers are concurrent stages of one job and
+    # a lazy cache would be raced (the documented lazy-persist race).
+    stacked = _cap_buckets(
+        _band_stack(minhash_signatures(sh, num_hashes), bands, rows),
+        max_bucket).persist()
     if cache_registry is not None:
-        cache_registry.append(sig)
-    sig.count()
-    # persist: the candidate subplan (banding self-join + distinct) is
-    # consumed twice below (cand_ids and the verify join) — without this,
-    # exchange reuse is not guaranteed across AQE replanning and the LSH
-    # pipeline would execute twice
-    cand = lsh_candidates(sig, bands, rows, max_bucket).persist()
-    if cache_registry is not None:
-        cache_registry.append(cand)
-    # materialize EAGERLY: cand feeds three branches of the verify job (both
-    # union arms of cand_ids + the pair join); concurrent stages of one job
-    # each miss a lazy cache and re-execute the whole LSH pipeline (same
-    # race as the PSI histogram, see checks/drift.py) — one tiny count()
-    # job up front keeps signature+banding to a single execution
-    cand.count()
+        cache_registry.append(stacked)
+    stacked.count()
 
-    return _verify_pairs(sh, cand, threshold)
+    a = stacked.select(F.col("doc_id").alias("d1"), "band", "bucket")
+    b = stacked.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+             .filter(F.col("d1") < F.col("d2"))
+             .select("d1", "d2").distinct())
+    # candidate doc-ids straight from the stack: a doc is in some candidate
+    # pair iff it shares a (band, bucket) with another doc — one window
+    # count over the SAME (band, bucket) partitioning the join shuffles on.
+    # This keeps `cand` single-consumer (it streams lazily into the verify
+    # join) instead of materializing the pair list to feed the id union.
+    w = Window.partitionBy("band", "bucket")
+    cand_ids = (stacked.withColumn("_n", F.count(F.lit(1)).over(w))
+                       .filter(F.col("_n") > 1)
+                       .select("doc_id").distinct())
+
+    return _verify_pairs(sh, cand, threshold, cand_ids=cand_ids)
 
 
-def _verify_pairs(sh: DataFrame, cand: DataFrame,
-                  threshold: float) -> DataFrame:
+def _verify_pairs(sh: DataFrame, cand: DataFrame, threshold: float,
+                  cand_ids: DataFrame | None = None) -> DataFrame:
     """Exact-verify ONLY the candidate pairs: join the candidate set against
     per-doc shingle sets and take array_intersect — never the full
     inverted-index self-join (that's the brute-force oracle path;
@@ -309,10 +313,16 @@ def _verify_pairs(sh: DataFrame, cand: DataFrame,
     (b) no static broadcast hint on the candidate frame — duplicate-heavy
     corpora (30-50 % dup rates) make it billions of rows, which would OOM
     a forced broadcast. AQE broadcasts it at runtime when it actually fits.
+
+    ``cand_ids`` (the distinct doc-ids appearing in any pair) can be passed
+    by callers who can derive it more cheaply than unioning the pair list
+    (e.g. from the banded stack); when given, ``cand`` has exactly ONE
+    consumer here and need not be persisted by the caller.
     """
-    cand_ids = (cand.select(F.col("d1").alias("doc_id"))
-                    .unionByName(cand.select(F.col("d2").alias("doc_id")))
-                    .distinct())
+    if cand_ids is None:
+        cand_ids = (cand.select(F.col("d1").alias("doc_id"))
+                        .unionByName(cand.select(F.col("d2").alias("doc_id")))
+                        .distinct())
     sets = (sh.join(cand_ids, "doc_id", "left_semi")
               .groupBy("doc_id").agg(F.collect_set("sh").alias("_shs")))
     j = sets.select(F.col("doc_id").alias("d1"), F.col("_shs").alias("_s1")) \
