@@ -37,6 +37,18 @@ The per-partition aggregate cache is populated lazily by whichever of the
 two concurrent jobs gets there first (see the measured rationale at the
 persist site).
 
+Expressions are built as SQL STRINGS and handed to Spark via ``selectExpr``/
+``F.expr`` — one py4j round trip per SELECT instead of one per sub-expression.
+The pyspark Column DSL costs a socket round trip per operator application
+(plus ~4 more each with call-site capture on, which session.py disables);
+a fused suite plan is a several-thousand-node expression tree, and building
+it node-by-node measured 0.65–1.5 s of pure driver latency — string
+construction is O(1) round trips per frame and parses JVM-side. The
+generated trees are operator-for-operator identical to the old Column
+version (same operand order, same literal values — float literals embedded
+via ``repr`` round-trip exactly), pinned by tests/test_fused.py's
+bit-identity against the per-check path.
+
 Non-fusible kinds (``unique`` needs a groupBy on the key, ``drift_ks`` needs
 the per-value CDF grid, ``token_invariant`` needs a snapshot join) keep their
 own plans — those shuffles are inherent to their semantics.
@@ -55,7 +67,7 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyanomalydetector_spark.checks.drift import PSI_SMOOTH
@@ -76,42 +88,79 @@ def is_fusible(check) -> bool:
     return False
 
 
-def _moment_cols(vc: str, tag: str) -> list[Column]:
-    v = F.col(vc).cast("double")
+# ------------------------------------------------- SQL-string construction ----
+
+def _sq(s: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def _d(x: float) -> str:
+    """Exact DOUBLE literal: repr() is shortest-round-trip, so the parsed
+    double is bit-identical to the Python float F.lit() would have sent
+    (bare decimal literals parse as DECIMAL in Spark SQL — never use them)."""
+    return f"CAST('{repr(float(x))}' AS DOUBLE)"
+
+
+def _bt(name: str) -> str:
+    """Backtick-quoted identifier for user-supplied column names."""
+    return "`" + str(name).replace("`", "") + "`"
+
+
+def _lit(v) -> str:
+    """SQL literal for a referential allowed-set member."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int,)):
+        return str(v)
+    if isinstance(v, float):
+        return _d(v)
+    return _sq(v)
+
+
+def _dcast(vc: str) -> str:
+    return f"CAST({_bt(vc)} AS DOUBLE)"
+
+
+def _moment_aggs(vc: str, tag: str) -> list[str]:
+    v = _dcast(vc)
     return [
-        F.sum(v).alias(f"{tag}_sum"),
-        F.sum(v * v).alias(f"{tag}_sqr"),
-        F.count(v).alias(f"{tag}_cnt"),
+        f"SUM({v}) AS {tag}_sum",
+        f"SUM({v} * {v}) AS {tag}_sqr",
+        f"COUNT({v}) AS {tag}_cnt",
     ]
 
 
-def _finalized(tag: str, prefix: str = "") -> tuple[Column, Column]:
-    """mean/std from fused moments with the reference's exact finalize
-    semantics (stats.py:130-135: Bessel, inf/NaN→0, cnt==1 → std 0)."""
-    s, q, c = (F.col(f"{prefix}{tag}_sum"), F.col(f"{prefix}{tag}_sqr"),
-               F.col(f"{prefix}{tag}_cnt"))
-    mean = F.try_divide(s, c.cast("double"))
-    var = F.try_divide(q - F.try_divide(s * s, c.cast("double")),
-                       (c - 1).cast("double"))
-    std = F.when(c > 1, F.sqrt(var)).otherwise(F.lit(0.0))
-
-    def scrub(col: Column) -> Column:
-        return F.when(col.isNull() | F.isnan(col)
-                      | col.isin(float("inf"), float("-inf")), F.lit(0.0)) \
-                .otherwise(col)
-
-    return scrub(mean), scrub(std)
+def _scrub(col: str) -> str:
+    """NULL/NaN/±inf → 0.0 (the reference's finalize scrub, stats.py:130-135)."""
+    return (f"CASE WHEN (({col}) IS NULL OR ISNAN({col}) OR "
+            f"({col}) IN (CAST('Infinity' AS DOUBLE), "
+            f"CAST('-Infinity' AS DOUBLE))) THEN {_d(0.0)} "
+            f"ELSE ({col}) END")
 
 
-def _global_mean_std(mtag: str) -> tuple[Column, Column]:
-    """Global baseline mean/std as columns over the summed moments — the
-    same arithmetic (and op order) the finalize formulas use."""
-    gs = F.coalesce(F.col(f"g_{mtag}_sum"), F.lit(0.0))
-    gq = F.coalesce(F.col(f"g_{mtag}_sqr"), F.lit(0.0))
-    gc = F.coalesce(F.col(f"g_{mtag}_cnt"), F.lit(0)).cast("double")
-    mean_t = F.when(gc > 0, gs / gc).otherwise(F.lit(0.0))
-    var = F.when(gc > 1, (gq - gs * gs / gc) / (gc - 1)).otherwise(F.lit(0.0))
-    std_t = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
+def _finalized(tag: str, prefix: str = "") -> tuple[str, str]:
+    """mean/std expr strings from fused moments with the reference's exact
+    finalize semantics (Bessel, inf/NaN→0, cnt==1 → std 0)."""
+    s, q, c = (f"{prefix}{tag}_sum", f"{prefix}{tag}_sqr", f"{prefix}{tag}_cnt")
+    mean = f"TRY_DIVIDE({s}, CAST({c} AS DOUBLE))"
+    var = (f"TRY_DIVIDE({q} - TRY_DIVIDE({s} * {s}, CAST({c} AS DOUBLE)), "
+           f"CAST(({c} - 1) AS DOUBLE))")
+    std = f"CASE WHEN ({c} > 1) THEN SQRT({var}) ELSE {_d(0.0)} END"
+    return _scrub(mean), _scrub(std)
+
+
+def _global_mean_std(mtag: str) -> tuple[str, str]:
+    """Global baseline mean/std as expr strings over the summed moments —
+    the same arithmetic (and op order) the finalize formulas use."""
+    gs = f"COALESCE(g_{mtag}_sum, {_d(0.0)})"
+    gq = f"COALESCE(g_{mtag}_sqr, {_d(0.0)})"
+    gc = f"CAST(COALESCE(g_{mtag}_cnt, 0) AS DOUBLE)"
+    mean_t = f"CASE WHEN ({gc} > 0) THEN ({gs}) / ({gc}) ELSE {_d(0.0)} END"
+    var = (f"CASE WHEN ({gc} > 1) THEN "
+           f"(({gq}) - ({gs}) * ({gs}) / ({gc})) / (({gc}) - 1) "
+           f"ELSE {_d(0.0)} END")
+    std_t = f"CASE WHEN ({var}) > 0 THEN SQRT({var}) ELSE {_d(0.0)} END"
     return mean_t, std_t
 
 
@@ -120,10 +169,6 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
     lists of *lazy* DataFrames in the order of ``checks`` plus the persisted
     intermediates (for the caller to unpersist once materialized) — no job
     runs here."""
-    from pyanomalydetector_spark.checks.core import (  # local: avoid cycle
-        _finish_verdicts, _finish_violations,
-    )
-
     # ---- PSI bucket bounds: pinned → python lits; else a lazy 1-row agg ----
     psi_checks = [c for c in checks if c.kind == "drift_psi"]
     pinned_bounds: dict[str, tuple[float, float]] = {}
@@ -140,12 +185,12 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
     if scan_vcs:
         exprs = []
         for vc in scan_vcs:
-            v = F.col(vc).cast("double")
-            exprs += [F.min(v).alias(f"_lo_{vc}"), F.max(v).alias(f"_hi_{vc}")]
+            exprs += [F.expr(f"MIN({_dcast(vc)}) AS _lo_{vc}"),
+                      F.expr(f"MAX({_dcast(vc)}) AS _hi_{vc}")]
         part_src = df.crossJoin(F.broadcast(df.agg(*exprs)))
 
     # ---- pass 1 plan: the single fused per-partition aggregate -------------
-    aggs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
+    aggs: list[str] = ["COUNT(1) AS _rows"]
     moment_tags: set[str] = set()
     for i, c in enumerate(checks):
         tag, p = f"c{i}", c.params
@@ -154,33 +199,35 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
             mtag = f"m_{vc}"
             if mtag not in moment_tags:
                 moment_tags.add(mtag)
-                aggs += _moment_cols(vc, mtag)
+                aggs += _moment_aggs(vc, mtag)
         elif c.kind == "n_tok_consistency":
-            bad = F.col("n_tok") != F.size("tokens")
-            aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"{tag}_bad"))
+            aggs.append("SUM(CASE WHEN (n_tok != SIZE(tokens)) THEN 1 "
+                        f"ELSE 0 END) AS {tag}_bad")
         elif c.kind == "referential":
             col, allowed = p.get("column", "source"), sorted(p["allowed"])
-            bad = F.when(F.col(col).isin(allowed), 0).otherwise(1)  # NULL→bad
-            aggs.append(F.sum(bad).alias(f"{tag}_bad"))
+            in_list = ", ".join(_lit(a) for a in allowed)
+            # NULL→bad: CASE WHEN col IN (...) THEN 0 ELSE 1 (NULL falls to 1)
+            aggs.append(f"SUM(CASE WHEN ({_bt(col)} IN ({in_list})) THEN 0 "
+                        f"ELSE 1 END) AS {tag}_bad")
         elif c.kind == "drift_psi":
             vc = p.get("value_col", "n_tok")
             nb = int(p.get("buckets", 10))
-            v = F.col(vc).cast("double")
+            v = _dcast(vc)
             if vc in pinned_bounds:
                 lo, hi = pinned_bounds[vc]
                 if hi == lo:
-                    bucket = F.lit(0)
+                    bucket = "0"
                 else:
-                    raw = F.floor((v - F.lit(lo)) / F.lit((hi - lo) / nb))
-                    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1))
+                    raw = f"FLOOR(({v} - {_d(lo)}) / {_d((hi - lo) / nb)})"
+                    bucket = f"LEAST(GREATEST({raw}, 0), {nb - 1})"
             else:
-                lo, hi = F.col(f"_lo_{vc}"), F.col(f"_hi_{vc}")
-                raw = F.floor((v - lo) / ((hi - lo) / nb))
-                clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1))
-                bucket = F.when(hi == lo, F.lit(0)).otherwise(clamped)
+                lo, hi = f"_lo_{vc}", f"_hi_{vc}"
+                raw = f"FLOOR(({v} - {lo}) / (({hi} - {lo}) / {nb}))"
+                bucket = (f"CASE WHEN ({hi} = {lo}) THEN 0 ELSE "
+                          f"LEAST(GREATEST({raw}, 0), {nb - 1}) END")
             for b in range(nb):
-                aggs.append(F.sum(F.when(bucket == b, 1).otherwise(0))
-                             .alias(f"{tag}_b{b}"))
+                aggs.append(f"SUM(CASE WHEN (({bucket}) = {b}) THEN 1 "
+                            f"ELSE 0 END) AS {tag}_b{b}")
 
     # persisted LAZILY on purpose: materialize() runs the verdicts and
     # violations jobs on concurrent threads, and the violations pass needs a
@@ -191,7 +238,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
     # banding caches, where the duplicated work is a whole extra
     # explode+aggregate pass and eager wins — measure before changing.
     part_aggs = part_src.groupBy(F.col(pcol).alias("partition_id")) \
-                        .agg(*aggs).persist()
+                        .agg(*[F.expr(a) for a in aggs]).persist()
 
     # ---- global baselines: lazy 1-row re-agg of the tiny frame -------------
     need_globals = any(
@@ -200,40 +247,53 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
         for c in checks)
     pa = part_aggs
     if need_globals:
-        gl_exprs: list[Column] = [F.sum("_rows").alias("g_rows")]
+        gl_exprs: list[str] = ["SUM(_rows) AS g_rows"]
         for mtag in moment_tags:
-            gl_exprs += [F.sum(f"{mtag}_sum").alias(f"g_{mtag}_sum"),
-                         F.sum(f"{mtag}_sqr").alias(f"g_{mtag}_sqr"),
-                         F.sum(f"{mtag}_cnt").alias(f"g_{mtag}_cnt")]
+            gl_exprs += [f"SUM({mtag}_sum) AS g_{mtag}_sum",
+                         f"SUM({mtag}_sqr) AS g_{mtag}_sqr",
+                         f"SUM({mtag}_cnt) AS g_{mtag}_cnt"]
         for i, c in enumerate(checks):
             if c.kind == "drift_psi" and c.params.get("pinned_hist") is None:
                 nb = int(c.params.get("buckets", 10))
-                gl_exprs += [F.sum(f"c{i}_b{b}").alias(f"g_c{i}_b{b}")
+                gl_exprs += [f"SUM(c{i}_b{b}) AS g_c{i}_b{b}"
                              for b in range(nb)]
-        pa = part_aggs.crossJoin(F.broadcast(part_aggs.agg(*gl_exprs)))
+        pa = part_aggs.crossJoin(F.broadcast(
+            part_aggs.agg(*[F.expr(a) for a in gl_exprs])))
 
     # ---- verdict plans from the aggregate frame ----------------------------
+    # Each verdict frame is ONE filter + ONE selectExpr; columns carry the
+    # uniform VERDICT_SCHEMA types directly (no _finish_verdicts re-cast).
     verdicts: list[DataFrame] = []
-    viol_entries = []   # (check_id, cond, observed_col, expected_col)
+    viol_entries = []   # (check_id, cond_sql, observed_sql, expected_sql)
     viol_joins = []     # broadcast frames joined onto the violations scan
+
+    def verdict_select(frame, check_id: str, passed: str, observed: str,
+                       expected: str, threshold: str, n_violations: str,
+                       rows_scanned: str) -> DataFrame:
+        return frame.selectExpr(
+            "CAST(partition_id AS STRING) AS partition_id",
+            f"{_sq(check_id)} AS check_id",
+            f"CAST({passed} AS BOOLEAN) AS passed",
+            f"CAST({observed} AS DOUBLE) AS observed",
+            f"CAST({expected} AS DOUBLE) AS expected",
+            f"CAST({threshold} AS DOUBLE) AS threshold",
+            f"CAST({n_violations} AS BIGINT) AS n_violations",
+            f"CAST({rows_scanned} AS BIGINT) AS rows_scanned",
+        )
 
     for i, c in enumerate(checks):
         tag, p = f"c{i}", c.params
-        cid = F.lit(c.check_id).alias("check_id")
         if c.kind == "column_stats":
             vc = p.get("value_col", "n_tok")
             min_count = int(p.get("min_count", 1))
-            cnt = F.col(f"m_{vc}_cnt")
+            cnt = f"m_{vc}_cnt"
             # cnt==0 (an all-NULL-value partition) emits NO verdict row,
             # matching the per-check path (finalize_mean_std drops cnt==0)
-            verdicts.append(_finish_verdicts(pa.filter(cnt > 0).select(
-                "partition_id", cid,
-                (cnt >= min_count).alias("passed"),
-                cnt.cast("double").alias("observed"),
-                F.lit(float(min_count)).alias("expected"),
-                F.lit(float(min_count)).alias("threshold"),
-                F.lit(0).alias("n_violations"),
-                cnt.alias("rows_scanned"))))
+            verdicts.append(verdict_select(
+                pa.filter(f"{cnt} > 0"), c.check_id,
+                passed=f"({cnt} >= {min_count})",
+                observed=cnt, expected=_d(min_count), threshold=_d(min_count),
+                n_violations="0", rows_scanned=cnt))
         elif c.kind == "zscore_threshold":
             vc = p.get("value_col", "n_tok")
             lam = float(p.get("lambda", 2.0))
@@ -241,98 +301,85 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
             mtag = f"m_{vc}"
             scalars = p.get("baseline_scalars")
             if scalars is not None:          # pinned baseline (resume path)
-                mean_t = F.lit(float(scalars["mean"]))
-                std_t = F.lit(float(scalars["std"]))
+                mean_t, std_t = _d(scalars["mean"]), _d(scalars["std"])
             else:
                 mean_t, std_t = _global_mean_std(mtag)
             mean_h, _ = _finalized(mtag)
-            dev = F.abs(mean_h - mean_t)
-            fail = (dev > F.lit(lam) * std_t) & (mean_t > 0) & \
-                   (F.try_divide(dev, mean_t) > rate)
+            dev = f"ABS(({mean_h}) - ({mean_t}))"
+            fail = (f"((({dev}) > {_d(lam)} * ({std_t})) AND (({mean_t}) > 0) "
+                    f"AND (TRY_DIVIDE({dev}, {mean_t}) > {_d(rate)}))")
             # cnt==0 partitions emit no verdict, matching the per-check
             # path (finalize_mean_std filters cnt>0 before the crossJoin)
-            pa_z = pa.filter(F.col(f"{mtag}_cnt") > 0)
-            verdicts.append(_finish_verdicts(pa_z.select(
-                "partition_id", cid,
-                (~fail).alias("passed"),
-                mean_h.alias("observed"),
-                mean_t.alias("expected"),
-                (F.lit(lam) * std_t).alias("threshold"),
-                F.lit(0).alias("n_violations"),
-                F.col(f"{mtag}_cnt").alias("rows_scanned"))))
+            pa_z = pa.filter(f"{mtag}_cnt > 0")
+            verdicts.append(verdict_select(
+                pa_z, c.check_id,
+                passed=f"(NOT {fail})",
+                observed=mean_h, expected=mean_t,
+                threshold=f"({_d(lam)} * ({std_t}))",
+                n_violations="0", rows_scanned=f"{mtag}_cnt"))
             # failing partitions flow into the violations scan as a
             # broadcast left-join — no driver collect
-            zfail = pa_z.where(fail).select(
-                F.col("partition_id").alias(f"_zp_{i}"),
-                mean_t.alias(f"_zm_{i}"),
-                (F.lit(lam) * std_t).alias(f"_zt_{i}"))
+            zfail = pa_z.where(fail).selectExpr(
+                f"partition_id AS _zp_{i}",
+                f"({mean_t}) AS _zm_{i}",
+                f"({_d(lam)} * ({std_t})) AS _zt_{i}")
             viol_joins.append((zfail, f"_zp_{i}"))
-            v = F.col(vc).cast("double")
-            cond = F.col(f"_zm_{i}").isNotNull() & \
-                (F.abs(v - F.col(f"_zm_{i}")) > F.col(f"_zt_{i}"))
-            exp = F.concat(
-                F.lit("within "), F.round(F.col(f"_zm_{i}"), 6).cast("string"),
-                F.lit(" ± "), F.round(F.col(f"_zt_{i}"), 6).cast("string"))
+            cond = (f"(_zm_{i} IS NOT NULL AND "
+                    f"(ABS({_dcast(vc)} - _zm_{i}) > _zt_{i}))")
+            exp = (f"CONCAT('within ', CAST(ROUND(_zm_{i}, 6) AS STRING), "
+                   f"' ± ', CAST(ROUND(_zt_{i}, 6) AS STRING))")
             viol_entries.append((c.check_id, cond,
-                                 F.col(vc).cast("string"), exp))
+                                 f"CAST({_bt(vc)} AS STRING)", exp))
         elif c.kind == "n_tok_consistency":
-            bad_n = F.col(f"{tag}_bad")
-            verdicts.append(_finish_verdicts(pa.select(
-                "partition_id", cid,
-                (bad_n == 0).alias("passed"),
-                bad_n.cast("double").alias("observed"),
-                F.lit(0.0).alias("expected"),
-                F.lit(0.0).alias("threshold"),
-                bad_n.alias("n_violations"),
-                F.col("_rows").alias("rows_scanned"))))
+            bad_n = f"{tag}_bad"
+            verdicts.append(verdict_select(
+                pa, c.check_id,
+                passed=f"({bad_n} = 0)",
+                observed=bad_n, expected=_d(0.0), threshold=_d(0.0),
+                n_violations=bad_n, rows_scanned="_rows"))
             viol_entries.append((
-                c.check_id, F.col("n_tok") != F.size("tokens"),
-                F.col("n_tok").cast("string"),
-                F.size("tokens").cast("string")))
+                c.check_id, "(n_tok != SIZE(tokens))",
+                "CAST(n_tok AS STRING)", "CAST(SIZE(tokens) AS STRING)"))
         elif c.kind == "referential":
             col, allowed = p.get("column", "source"), sorted(p["allowed"])
-            bad_n = F.col(f"{tag}_bad")
-            verdicts.append(_finish_verdicts(pa.select(
-                "partition_id", cid,
-                (bad_n == 0).alias("passed"),
-                bad_n.cast("double").alias("observed"),
-                F.lit(0.0).alias("expected"),
-                F.lit(0.0).alias("threshold"),
-                bad_n.alias("n_violations"),
-                F.col("_rows").alias("rows_scanned"))))
+            in_list = ", ".join(_lit(a) for a in allowed)
+            bad_n = f"{tag}_bad"
+            verdicts.append(verdict_select(
+                pa, c.check_id,
+                passed=f"({bad_n} = 0)",
+                observed=bad_n, expected=_d(0.0), threshold=_d(0.0),
+                n_violations=bad_n, rows_scanned="_rows"))
             viol_entries.append((
                 c.check_id,
-                F.when(F.col(col).isin(allowed), F.lit(False)).otherwise(F.lit(True)),
-                F.col(col).cast("string"),
-                F.lit("member of allowed source set")))
+                # NULL→violation, like the aggregate: IN(...)=NULL falls ELSE
+                f"(CASE WHEN ({_bt(col)} IN ({in_list})) THEN FALSE "
+                f"ELSE TRUE END)",
+                f"CAST({_bt(col)} AS STRING)",
+                _sq("member of allowed source set")))
         elif c.kind == "drift_psi":
             nb = int(p.get("buckets", 10))
             threshold = float(p.get("threshold", 0.2))
             pinned = p.get("pinned_hist")
-            n_p = sum((F.col(f"{tag}_b{b}") for b in range(1, nb)),
-                      F.col(f"{tag}_b0"))
+            n_p = " + ".join(f"{tag}_b{b}" for b in range(nb))
+            sm, sm_nb = _d(PSI_SMOOTH), _d(PSI_SMOOTH * nb)
             terms = []
             for b in range(nb):
                 if pinned is not None:
-                    qq = F.lit((float(pinned["counts"][b]) + PSI_SMOOTH)
-                               / (float(pinned["n_base"]) + PSI_SMOOTH * nb))
+                    qq = _d((float(pinned["counts"][b]) + PSI_SMOOTH)
+                            / (float(pinned["n_base"]) + PSI_SMOOTH * nb))
                 else:
-                    c_b = F.coalesce(F.col(f"g_{tag}_b{b}"), F.lit(0)) \
-                           .cast("double")
-                    qq = (c_b + F.lit(PSI_SMOOTH)) / \
-                         (F.col("g_rows").cast("double") + F.lit(PSI_SMOOTH * nb))
-                pp = (F.col(f"{tag}_b{b}") + F.lit(PSI_SMOOTH)) / \
-                     (n_p + F.lit(PSI_SMOOTH * nb))
-                terms.append((pp - qq) * F.log(pp / qq))
-            psi = sum(terms[1:], terms[0])
-            verdicts.append(_finish_verdicts(pa.select(
-                "partition_id", cid,
-                (psi <= threshold).alias("passed"),
-                psi.alias("observed"),
-                F.lit(threshold).alias("expected"),
-                F.lit(threshold).alias("threshold"),
-                F.lit(0).alias("n_violations"),
-                F.col("_rows").alias("rows_scanned"))))
+                    c_b = f"CAST(COALESCE(g_{tag}_b{b}, 0) AS DOUBLE)"
+                    qq = (f"(({c_b} + {sm}) / "
+                          f"(CAST(g_rows AS DOUBLE) + {sm_nb}))")
+                pp = f"(({tag}_b{b} + {sm}) / (({n_p}) + {sm_nb}))"
+                terms.append(f"(({pp} - {qq}) * LN({pp} / {qq}))")
+            psi = " + ".join(terms)
+            verdicts.append(verdict_select(
+                pa, c.check_id,
+                passed=f"(({psi}) <= {_d(threshold)})",
+                observed=f"({psi})", expected=_d(threshold),
+                threshold=_d(threshold),
+                n_violations="0", rows_scanned="_rows"))
         else:  # pragma: no cover — guarded by is_fusible
             raise ValueError(f"not fusible: {c.kind}")
 
@@ -346,25 +393,23 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
             viol_src = viol_src.join(
                 F.broadcast(frame),
                 F.col(pcol).eqNullSafe(F.col(keycol)), "left").drop(keycol)
-        structs = F.array(*[
-            F.when(cond, F.struct(
-                F.lit(cid).alias("check_id"),
-                obs.alias("observed"),
-                exp.alias("expected"),
+        structs = ", ".join(
+            f"CASE WHEN ({cond}) THEN NAMED_STRUCT("
+            f"'check_id', {_sq(cid)}, 'observed', {obs}, 'expected', {exp}) "
+            f"END"
+            for cid, cond, obs, exp in viol_entries)
+        violations.append(
+            viol_src.selectExpr(
+                f"CAST({_bt(pcol)} AS STRING) AS partition_id",
+                "CAST(doc_id AS STRING) AS doc_id",
+                f"EXPLODE(FILTER(ARRAY({structs}), x -> x IS NOT NULL)) AS v",
+            ).selectExpr(
+                "partition_id",
+                "v.check_id AS check_id",
+                "doc_id",
+                "CAST(v.observed AS STRING) AS observed",
+                "CAST(v.expected AS STRING) AS expected",
             ))
-            for cid, cond, obs, exp in viol_entries
-        ])
-        hits = F.filter(structs, lambda x: x.isNotNull())
-        exploded = (
-            viol_src.select(F.col(pcol).alias("partition_id"), "doc_id",
-                            F.explode(hits).alias("v"))
-                    .select("partition_id",
-                            F.col("v.check_id").alias("check_id"),
-                            "doc_id",
-                            F.col("v.observed").alias("observed"),
-                            F.col("v.expected").alias("expected"))
-        )
-        violations.append(_finish_violations(exploded))
 
     return verdicts, violations, [part_aggs]
 
