@@ -78,3 +78,28 @@ def test_fused_eq_per_check_all_null_value_partition(spark):
     assert _norm_verdicts(fused.verdicts) == _norm_verdicts(plain.verdicts)
     assert _norm_violations(fused.violations) == _norm_violations(plain.violations)
     assert {r["partition_id"] for r in fused.verdicts.collect()} == {"s1"}
+
+
+def test_fused_sql_strings_survive_quoted_identifiers(seq):
+    """The fused builder emits SQL STRINGS (fused.py round-4 rewrite), so
+    quote-bearing check ids and allowed-set members are an injection
+    surface: a check_id like "o'brien", an allowed value with a quote, and
+    a float literal that must round-trip exactly. Per-check path (Column
+    DSL, no parsing) is the ground truth."""
+    allowed = _allowed(seq) + ["it's-a-source", "x''y"]
+    suite = [
+        Check("o'brien \"stats\"", "column_stats",
+              {"value_col": "n_tok", "min_count": 2}),
+        Check("z; DROP TABLE--", "zscore_threshold",
+              {"value_col": "n_tok", "lambda": 0.7300000000000001,
+               "ignore_diff_rate": 0.1}),
+        Check("ref'd", "referential", {"column": "source", "allowed": allowed}),
+        Check("psi ± π", "drift_psi",
+              {"value_col": "n_tok", "buckets": 7, "threshold": 0.25}),
+        Check("n't", "n_tok_consistency", {}),
+    ]
+    fused = run_checks(seq, suite, fuse=True)
+    plain = run_checks(seq, suite, fuse=False)
+    assert _norm_verdicts(fused.verdicts) == _norm_verdicts(plain.verdicts)
+    assert _norm_violations(fused.violations) == _norm_violations(plain.violations)
+    fused.unpersist(); plain.unpersist()
