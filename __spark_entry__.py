@@ -523,6 +523,33 @@ def _q_doc_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_doc_dedup_minhash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-RESIDENT full dedup: build the persisted signature+shingle
+    store once, then find every near-dup pair from the store assets alone —
+    the corpus text is read exactly once (at build) and never re-shingled.
+    The maintenance pass a store-backed pipeline runs after many appends;
+    ``threshold`` is query-time, so re-depuplicating at a stricter bar
+    costs one pass over the store, not a corpus re-read. Output ≡
+    minhash_dedup_pairs over the same corpus (both also pinned in
+    tests/test_dedup_incremental.py), so the brute-force Jaccard SQL is
+    the oracle."""
+    import tempfile
+    from pyanomalydetector_spark.operators.dedup import (
+        build_minhash_store, minhash_pairs_in_store,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="mhstore_full_q_") + "/store"
+    build_minhash_store(docs, path, k=3)
+    reg: list = []
+    out = minhash_pairs_in_store(spark, path, threshold=0.8,
+                                 cache_registry=reg).select(
+        F.col("d1").cast("bigint"), F.col("d2").cast("bigint"),
+        F.round("jaccard", 6).alias("jaccard")).localCheckpoint()
+    for f in reg:
+        f.unpersist()
+    return out
+
+
 def _q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup completion stage: near-dup pairs → duplicate CLUSTERS via
     distributed min-label propagation (connected components); each doc maps
@@ -1053,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_dedup_minhash": _q_doc_dedup_minhash,
         "doc_dedup_minhash_incr": _q_doc_dedup_minhash_incr,
+        "doc_dedup_minhash_store": _q_doc_dedup_minhash_store,
         "doc_dup_clusters": _q_doc_dup_clusters,
         "doc_contamination": _q_doc_contamination,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
@@ -1904,6 +1932,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_ngram_jaccard": _JACCARD_SQL,
         "doc_dedup_minhash": _JACCARD_SQL,
+        # store-resident dedup ≡ in-memory LSH dedup ≡ brute force
+        "doc_dedup_minhash_store": _JACCARD_SQL,
         # batched ingest ≡ one-shot recompute restricted to pairs touching
         # the batch (odd doc_ids) — corpus-internal pairs were the earlier
         # ingest's output

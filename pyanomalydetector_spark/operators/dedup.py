@@ -501,6 +501,49 @@ def minhash_pairs_vs_store(new_docs: DataFrame, path: str,
     return _verify_pairs(sh_all, cand, threshold)
 
 
+def minhash_pairs_in_store(spark, path: str, threshold: float = 0.8,
+                           cache_registry: list | None = None,
+                           max_bucket: int | None = None) -> DataFrame:
+    """Near-dup pairs WITHIN a persisted :func:`build_minhash_store` — a
+    full corpus dedup pass that never re-reads or re-shingles the corpus
+    text: candidates come from banding the STORED signatures, verification
+    from the STORED shingles. This is the maintenance query a store-backed
+    pipeline runs after a season of appends — or to re-dedup at a NEW
+    ``threshold``, which is a query-time parameter here (the store pins
+    only the hash family), so tightening 0.8 → 0.9 costs one pass over
+    the store assets instead of a corpus re-shingle.
+
+    Output contract equals :func:`minhash_dedup_pairs` over the same
+    corpus/params (pinned in tests/test_dedup_incremental.py), so the
+    brute-force Jaccard SQL is its oracle. Same scale shape too: the
+    banded stack is the one cached multi-consumer frame (bounded,
+    O(docs × bands)); the candidate pair list stays lazy/single-consumer;
+    store shingles are semi-joined to candidate ids before any
+    ``collect_set``.
+    """
+    m = _read_store_meta(spark, path)
+    bands, rows = int(m["bands"]), int(m["rows"])
+
+    stacked = _cap_buckets(
+        _band_stack(spark.read.parquet(f"{path}/signatures"), bands, rows),
+        max_bucket).persist()
+    if cache_registry is not None:
+        cache_registry.append(stacked)
+    stacked.count()     # multi-consumer: lazy caches race concurrent stages
+
+    a = stacked.select(F.col("doc_id").alias("d1"), "band", "bucket")
+    b = stacked.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+             .filter(F.col("d1") < F.col("d2"))
+             .select("d1", "d2").distinct())
+    w = Window.partitionBy("band", "bucket")
+    cand_ids = (stacked.withColumn("_n", F.count(F.lit(1)).over(w))
+                       .filter(F.col("_n") > 1)
+                       .select("doc_id").distinct())
+    return _verify_pairs(spark.read.parquet(f"{path}/shingles"), cand,
+                         threshold, cand_ids=cand_ids)
+
+
 # ---------------------------------------------------------------- SimHash ----
 
 def simhash(docs: DataFrame, text_col: str = "text",

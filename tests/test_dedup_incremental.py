@@ -92,3 +92,24 @@ def test_reingested_ids_fail_loudly(spark, docs, tmp_path_factory):
     clean = docs.filter(part == 1)
     assert minhash_pairs_vs_store(
         clean, path, check_disjoint=False).collect() is not None
+
+
+def test_in_store_dedup_equals_one_shot(spark, docs, tmp_path_factory):
+    """Store-resident full dedup (minhash_pairs_in_store) must emit exactly
+    the one-shot minhash_dedup_pairs output — including after appends, and
+    at a DIFFERENT query-time threshold than the default."""
+    from pyanomalydetector_spark.operators.dedup import minhash_pairs_in_store
+
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    path = str(tmp_path_factory.mktemp("mhfull") / "store")
+    build_minhash_store(docs.filter(part == 0), path)
+    append_to_minhash_store(docs.filter(part == 1), path)
+
+    reg = []
+    for thr in (0.8, 0.95):
+        got = _keyed(minhash_pairs_in_store(spark, path, threshold=thr,
+                                            cache_registry=reg).collect())
+        want = _keyed(minhash_dedup_pairs(docs, threshold=thr).collect())
+        assert got == want and (thr > 0.8 or got)
+    for f in reg:
+        f.unpersist()
