@@ -59,6 +59,7 @@ HEADLINE = [
 SCALE_PATHS = [
     "seq_length_percentiles_sketch",
     "doc_dedup_minhash_incr",
+    "doc_dedup_minhash_store",
     "emb_ann_ivf_indexed",
     "emb_cosine_lsh",
 ]
