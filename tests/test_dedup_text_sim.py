@@ -446,3 +446,20 @@ def test_merged_profiles_equal_individual_operators(spark, docs):
         p = tp[r["doc_id"]]
         for c in ("n_words", "n_grams", "rep_ratio", "word_dup_ratio"):
             assert p[c] == r[c], (r["doc_id"], c)
+
+
+def test_lsh_candidates_superset_of_emitted_pairs(docs):
+    """The public candidate-generation block: every pair minhash_dedup_pairs
+    emits must be an LSH candidate (same banding params), and the candidate
+    set stays far from all-pairs — the sub-quadratic property that makes it
+    a building block worth exposing on its own."""
+    from pyanomalydetector_spark.operators.dedup import (
+        hashed_shingles, lsh_candidates, minhash_signatures,
+    )
+    sig = minhash_signatures(hashed_shingles(docs, 3), 30)
+    cand = {(r["d1"], r["d2"]) for r in lsh_candidates(sig, 10, 3).collect()}
+    emitted = {(r["d1"], r["d2"]) for r in
+               minhash_dedup_pairs(docs, k=3, threshold=0.8).collect()}
+    assert emitted <= cand
+    n = docs.count()
+    assert len(cand) < n * (n - 1) / 20   # nowhere near all-pairs
