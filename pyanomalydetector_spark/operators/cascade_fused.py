@@ -71,60 +71,63 @@ def _env_features(env: DataFrame, density_window: int, suffix: str,
     One window pass + one groupBy over the tiny rollup frame; column names
     get ``suffix`` so the short/long envelopes coexist in one join.
     """
-    w_lag = Window.partitionBy("itemid").orderBy("clock")
-    w_peak = Window.partitionBy("itemid").orderBy("clock") \
-                   .rangeBetween(-(density_window - 1), 0)
+    # SQL strings, not the Column DSL — same plan-construction fast path as
+    # checks/fused.py (one py4j round trip per SELECT; trees identical —
+    # fused ≡ staged pinned in tests/test_cascade_fused.py, oracle hash-exact)
+    w_lag = "OVER (PARTITION BY itemid ORDER BY clock)"
+    w_peak = (f"OVER (PARTITION BY itemid ORDER BY clock "
+              f"RANGE BETWEEN {density_window - 1} PRECEDING AND CURRENT ROW)")
+    z = "CAST('0.0' AS DOUBLE)"
 
-    vmax = F.col("value_max").cast("double")
-    vmin = F.col("value_min").cast("double")
-    diff_up = vmax - F.lag(vmax).over(w_lag)
-    diff_dw = vmin - F.lag(vmin).over(w_lag)
+    vmax = "CAST(value_max AS DOUBLE)"
+    vmin = "CAST(value_min AS DOUBLE)"
     # NULL-ify zero diffs so avg/stddev skip them exactly like the staged
     # path's ``filter(diff != 0)`` (adjacent_diff_stats)
-    d_up = F.when(diff_up != 0, diff_up)
-    d_dw = F.when(diff_dw != 0, diff_dw)
+    diff_up = f"({vmax} - LAG({vmax}) {w_lag})"
+    diff_dw = f"({vmin} - LAG({vmin}) {w_lag})"
 
-    rows = env.select(
-        "itemid", "clock", vmax.alias("vmax"), vmin.alias("vmin"),
-        F.col("value_avg").cast("double").alias("vavg"),
-        d_up.alias("d_up"), d_dw.alias("d_dw"),
-        F.avg(vmax).over(w_peak).alias("wm_up"),
-        F.avg(vmin).over(w_peak).alias("wm_dw"),
+    rows = env.selectExpr(
+        "itemid", "clock", f"{vmax} AS vmax", f"{vmin} AS vmin",
+        "CAST(value_avg AS DOUBLE) AS vavg",
+        f"CASE WHEN {diff_up} != 0 THEN {diff_up} END AS d_up",
+        f"CASE WHEN {diff_dw} != 0 THEN {diff_dw} END AS d_dw",
+        f"AVG({vmax}) {w_peak} AS wm_up",
+        f"AVG({vmin}) {w_peak} AS wm_dw",
     )
 
     aggs = [
-        F.avg("vmax").alias(f"mu_up{suffix}"),
-        F.coalesce(F.stddev_samp("vmax"), F.lit(0.0)).alias(f"sd_up{suffix}"),
-        F.avg("vmin").alias(f"mu_dw{suffix}"),
-        F.coalesce(F.stddev_samp("vmin"), F.lit(0.0)).alias(f"sd_dw{suffix}"),
-        F.max("wm_up").alias(f"peak_up{suffix}"),
-        F.min("wm_dw").alias(f"peak_dw{suffix}"),
+        f"AVG(vmax) AS mu_up{suffix}",
+        f"COALESCE(STDDEV_SAMP(vmax), {z}) AS sd_up{suffix}",
+        f"AVG(vmin) AS mu_dw{suffix}",
+        f"COALESCE(STDDEV_SAMP(vmin), {z}) AS sd_dw{suffix}",
+        f"MAX(wm_up) AS peak_up{suffix}",
+        f"MIN(wm_dw) AS peak_dw{suffix}",
     ]
     if with_detect12:
         # detect1 trend stats with the exact finalize semantics
         # (sufficient_stats → finalize_mean_std: Bessel, inf/NaN→0)
-        s, q, c = F.sum("vavg"), F.sum(F.col("vavg") * F.col("vavg")), \
-            F.count("vavg")
-        mean_t = F.try_divide(s, c.cast("double"))
-        var_t = F.try_divide(q - F.try_divide(s * s, c.cast("double")),
-                             (c - 1).cast("double"))
-        std_t = F.when(c > 1, F.sqrt(var_t)).otherwise(F.lit(0.0))
+        s, q, c = "SUM(vavg)", "SUM(vavg * vavg)", "COUNT(vavg)"
+        mean_t = f"TRY_DIVIDE({s}, CAST({c} AS DOUBLE))"
+        var_t = (f"TRY_DIVIDE({q} - TRY_DIVIDE({s} * {s}, "
+                 f"CAST({c} AS DOUBLE)), CAST(({c} - 1) AS DOUBLE))")
+        std_t = f"CASE WHEN ({c} > 1) THEN SQRT({var_t}) ELSE {z} END"
 
-        def scrub(col: Column) -> Column:
-            return F.when(col.isNull() | F.isnan(col)
-                          | col.isin(float("inf"), float("-inf")),
-                          F.lit(0.0)).otherwise(col)
+        def scrub(col: str) -> str:
+            return (f"CASE WHEN (({col}) IS NULL OR ISNAN({col}) OR "
+                    f"({col}) IN (CAST('Infinity' AS DOUBLE), "
+                    f"CAST('-Infinity' AS DOUBLE))) THEN {z} "
+                    f"ELSE ({col}) END")
 
         aggs += [
-            scrub(mean_t).alias("mean_t"),
-            scrub(std_t).alias("std_t"),
-            c.alias("cnt_t"),
-            F.avg("d_up").alias("dmean_up"),
-            F.stddev_samp("d_up").alias("dstd_up"),
-            F.avg("d_dw").alias("dmean_dw"),
-            F.stddev_samp("d_dw").alias("dstd_dw"),
+            f"{scrub(mean_t)} AS mean_t",
+            f"{scrub(std_t)} AS std_t",
+            f"{c} AS cnt_t",
+            "AVG(d_up) AS dmean_up",
+            "STDDEV_SAMP(d_up) AS dstd_up",
+            "AVG(d_dw) AS dmean_dw",
+            "STDDEV_SAMP(d_dw) AS dstd_dw",
         ]
-    return rows.groupBy("itemid").agg(*aggs)
+    return rows.groupBy("itemid").agg(*[F.expr(a) for a in aggs])
 
 
 def _detect3_pred(tag: str, hist_count: int, hist_count2: int,
