@@ -65,6 +65,8 @@ re-reads stats tables per batch); a columnar engine fuses the passes instead.
 
 from __future__ import annotations
 
+import hashlib
+import re
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame
@@ -103,8 +105,24 @@ def _d(x: float) -> str:
 
 
 def _bt(name: str) -> str:
-    """Backtick-quoted identifier for user-supplied column names."""
-    return "`" + str(name).replace("`", "") + "`"
+    """Backtick-quoted identifier for user-supplied column names. Spark's
+    identifier-escape convention is DOUBLING the backtick — stripping would
+    silently resolve a column literally named ``a`b`` to ``ab``."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
+def _ctag(name: str) -> str:
+    """Deterministic identifier-safe tag for a user column name, for use
+    inside GENERATED aliases (``m_<tag>_sum``, ``_lo_<tag>``...). The alias
+    grammar needs a bare identifier, so non-word characters (spaces, dashes,
+    backticks) can't be embedded raw; keep the word-character skeleton and,
+    whenever anything was dropped, append a short md5 of the full name so two
+    distinct user names can never collide on the same tag."""
+    s = str(name)
+    skel = re.sub(r"\W", "", s, flags=re.ASCII)
+    if skel == s:
+        return skel
+    return f"{skel}_{hashlib.md5(s.encode('utf-8')).hexdigest()[:8]}"
 
 
 def _lit(v) -> str:
@@ -185,8 +203,8 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
     if scan_vcs:
         exprs = []
         for vc in scan_vcs:
-            exprs += [F.expr(f"MIN({_dcast(vc)}) AS _lo_{vc}"),
-                      F.expr(f"MAX({_dcast(vc)}) AS _hi_{vc}")]
+            exprs += [F.expr(f"MIN({_dcast(vc)}) AS _lo_{_ctag(vc)}"),
+                      F.expr(f"MAX({_dcast(vc)}) AS _hi_{_ctag(vc)}")]
         part_src = df.crossJoin(F.broadcast(df.agg(*exprs)))
 
     # ---- pass 1 plan: the single fused per-partition aggregate -------------
@@ -196,7 +214,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
         tag, p = f"c{i}", c.params
         if c.kind in ("column_stats", "zscore_threshold"):
             vc = p.get("value_col", "n_tok")
-            mtag = f"m_{vc}"
+            mtag = f"m_{_ctag(vc)}"
             if mtag not in moment_tags:
                 moment_tags.add(mtag)
                 aggs += _moment_aggs(vc, mtag)
@@ -221,7 +239,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
                     raw = f"FLOOR(({v} - {_d(lo)}) / {_d((hi - lo) / nb)})"
                     bucket = f"LEAST(GREATEST({raw}, 0), {nb - 1})"
             else:
-                lo, hi = f"_lo_{vc}", f"_hi_{vc}"
+                lo, hi = f"_lo_{_ctag(vc)}", f"_hi_{_ctag(vc)}"
                 raw = f"FLOOR(({v} - {lo}) / (({hi} - {lo}) / {nb}))"
                 bucket = (f"CASE WHEN ({hi} = {lo}) THEN 0 ELSE "
                           f"LEAST(GREATEST({raw}, 0), {nb - 1}) END")
@@ -286,7 +304,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
         if c.kind == "column_stats":
             vc = p.get("value_col", "n_tok")
             min_count = int(p.get("min_count", 1))
-            cnt = f"m_{vc}_cnt"
+            cnt = f"m_{_ctag(vc)}_cnt"
             # cnt==0 (an all-NULL-value partition) emits NO verdict row,
             # matching the per-check path (finalize_mean_std drops cnt==0)
             verdicts.append(verdict_select(
@@ -298,7 +316,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
             vc = p.get("value_col", "n_tok")
             lam = float(p.get("lambda", 2.0))
             rate = float(p.get("ignore_diff_rate", 0.0))
-            mtag = f"m_{vc}"
+            mtag = f"m_{_ctag(vc)}"
             scalars = p.get("baseline_scalars")
             if scalars is not None:          # pinned baseline (resume path)
                 mean_t, std_t = _d(scalars["mean"]), _d(scalars["std"])

@@ -474,8 +474,18 @@ def cosine_pairs_above_blocked(emb: DataFrame, threshold: float = 0.95,
                                block_size: int = 1024,
                                vec_col: str = "embedding",
                                id_col: str = "vec_id") -> DataFrame:
-    """All-pairs cosine ≥ threshold via blocked matrix products — the scale
-    path for embedding near-dup detection.
+    """All-pairs cosine ≥ threshold via blocked matrix products.
+
+    **Quadratic bound — not the 100 TB path.** The block-pair grid is
+    O((N/block)²) tasks and O(N²·d) total FLOPs regardless of threshold:
+    blocking amortizes per-pair overhead into dense BLAS tiles (10-100×
+    faster than expression folds) but cannot change the pair count. Use it
+    as the exact/oracle kernel at bounded N (verification fixtures, small
+    probe sets, per-bucket verify inside LSH). At corpus scale use
+    :func:`cosine_pairs_above_lsh` — random-hyperplane candidate generation
+    + exact verify, sub-quadratic for any fixed recall target — which is
+    pinned equal to this kernel on the clustered fixture
+    (tests/test_dedup_text_sim.py).
 
     Vectors are L2-normalized once, grouped into blocks of ``block_size``,
     and the (upper-triangular) block-pair grid is joined; each block pair

@@ -103,3 +103,62 @@ def test_fused_sql_strings_survive_quoted_identifiers(seq):
     assert _norm_verdicts(fused.verdicts) == _norm_verdicts(plain.verdicts)
     assert _norm_violations(fused.violations) == _norm_violations(plain.violations)
     fused.unpersist(); plain.unpersist()
+
+
+def test_fused_hostile_value_col_names(seq):
+    """ADVICE r04: generated aliases used to embed the raw value_col name
+    (``m_{vc}_sum``, ``_lo_{vc}``) — a name with spaces/dashes failed to
+    parse even though the per-check Column-DSL path accepted it. Now tags
+    come from _ctag(); also pin that two names with the SAME word-character
+    skeleton ("v 1" vs "v-1" → both "v1") do not collide on one moment tag."""
+    df = (seq.withColumnRenamed("n_tok", "n tok ±")
+             .withColumn("v 1", F.expr("`n tok ±` + 1"))
+             .withColumn("v-1", F.expr("`n tok ±` * 2")))
+    suite = [
+        Check("stats-sp", "column_stats", {"value_col": "n tok ±",
+                                           "min_count": 2}),
+        Check("z-sp", "zscore_threshold",
+              {"value_col": "n tok ±", "lambda": 0.7,
+               "ignore_diff_rate": 0.0}),
+        Check("psi-sp", "drift_psi",
+              {"value_col": "n tok ±", "buckets": 5, "threshold": 0.25}),
+        Check("stats-v1a", "column_stats", {"value_col": "v 1"}),
+        Check("stats-v1b", "column_stats", {"value_col": "v-1"}),
+        Check("z-v1a", "zscore_threshold",
+              {"value_col": "v 1", "lambda": 0.5, "ignore_diff_rate": 0.0}),
+        Check("z-v1b", "zscore_threshold",
+              {"value_col": "v-1", "lambda": 0.5, "ignore_diff_rate": 0.0}),
+    ]
+    fused = run_checks(df, suite, fuse=True)
+    plain = run_checks(df, suite, fuse=False)
+    assert _norm_verdicts(fused.verdicts) == _norm_verdicts(plain.verdicts)
+    assert _norm_violations(fused.violations) == _norm_violations(plain.violations)
+    # the two skeleton-colliding columns must have produced DIFFERENT stats
+    obs = {r["check_id"]: r["observed"]
+           for r in fused.verdicts.collect() if r["check_id"].startswith("z-v1")}
+    assert obs["z-v1a"] != obs["z-v1b"]
+    fused.unpersist(); plain.unpersist()
+
+
+def test_fused_backtick_column_name(spark):
+    """A column literally named with a backtick must resolve to ITSELF:
+    _bt escapes by doubling (VERDICT r04 nit — stripping rewrote a`b → ab,
+    silently reading the wrong column). Hand-checked expectations because
+    F.col() can't express a backtick name for the per-check ground truth."""
+    df = spark.createDataFrame(
+        [("a", [1], 1, "s1", 10.0, 99.0), ("b", [2], 2, "s1", 20.0, 99.0),
+         ("c", [3], 3, "s2", 30.0, 99.0), ("d", [4], 4, "s2", 40.0, 99.0)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "`x``tick` double, ab double")
+    # two fusible checks so the fused builder engages (fusion needs >=2)
+    res = run_checks(df, [Check("bt", "column_stats",
+                                {"value_col": "x`tick", "min_count": 1}),
+                          Check("nt", "n_tok_consistency", {})],
+                     fuse=True)
+    rows = {r["partition_id"]: r for r in res.verdicts.collect()
+            if r["check_id"] == "bt"}
+    # the decoy column `ab` (what backtick-STRIPPING would resolve to) has
+    # value 99.0 everywhere; x`tick has 2 non-null values per partition
+    assert rows["s1"]["rows_scanned"] == 2 and rows["s2"]["rows_scanned"] == 2
+    assert all(r["passed"] for r in rows.values())
+    res.unpersist()

@@ -43,6 +43,45 @@ def canon(rows, cols):
     return sorted(out)
 
 
+_INT_SPARK = {"byte", "short", "int", "integer", "long", "bigint"}
+
+
+def _kind_spark(dt: str) -> str:
+    dt = dt.lower()
+    if dt in _INT_SPARK:
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    return "other"
+
+
+def _kind_pandas(dtype) -> str:
+    k = getattr(dtype, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    return "other"
+
+
+def type_kind_mismatches(sdf, odf):
+    """Columns where Spark yields an integer type but the oracle arrives in
+    pandas as float (or vice versa). This is the driver's failure mode that
+    lossy float-normalisation hides: DuckDB promotes SUM(INTEGER) to HUGEINT,
+    pandas has no int128, so .df() lands float64 while Spark emits BIGINT —
+    values identical, driver hash red (seq_packing_stats, rounds 2-4).
+    Fix on the oracle side: CAST every integer aggregate to BIGINT.
+    """
+    spark_kinds = {f.name: _kind_spark(f.dataType.simpleString())
+                   for f in sdf.schema.fields}
+    bad = []
+    for c in odf.columns:
+        sk, ok = spark_kinds.get(c, "other"), _kind_pandas(odf[c].dtype)
+        if {sk, ok} == {"int", "float"}:
+            bad.append((c, sk, ok))
+    return bad
+
+
 def main() -> int:
     import __spark_entry__ as e
     from pyanomalydetector_spark.session import get_spark
@@ -77,11 +116,18 @@ def main() -> int:
         res = con.execute(oracles[name])
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
+        # second execution purely for pandas-dtype kinds (the driver pulls
+        # the oracle through .df(), which is where HUGEINT -> float64 bites)
+        odf = con.execute(oracles[name]).df()
         ok_cols = sorted(scols) == sorted(ocols)
         s_canon, o_canon = canon(srows, scols), canon(orows, ocols)
         ok_vals = s_canon == o_canon
-        status = "OK" if (ok_cols and ok_vals) else "MISMATCH"
-        print(f"{name:36s} rows={len(srows):6d}/{len(orows):6d} cols={'OK' if ok_cols else f'{scols} vs {ocols}'} values={'OK' if ok_vals else 'DIFF'}  -> {status}")
+        kind_bad = type_kind_mismatches(sdf, odf)
+        ok_kinds = not kind_bad
+        status = "OK" if (ok_cols and ok_vals and ok_kinds) else "MISMATCH"
+        print(f"{name:36s} rows={len(srows):6d}/{len(orows):6d} cols={'OK' if ok_cols else f'{scols} vs {ocols}'} values={'OK' if ok_vals else 'DIFF'} kinds={'OK' if ok_kinds else kind_bad}  -> {status}")
+        if not ok_kinds:
+            failures.append(name)
         if not (ok_cols and ok_vals):
             failures.append(name)
             for i, (a, b) in enumerate(zip(s_canon, o_canon)):
