@@ -544,6 +544,76 @@ def minhash_pairs_in_store(spark, path: str, threshold: float = 0.8,
                          threshold, cand_ids=cand_ids)
 
 
+def _swap_asset_dir(spark, live_dir: str, staged_dir: str) -> None:
+    """Replace a store asset directory with its freshly-staged rewrite via
+    the Hadoop FileSystem API (works on local FS and any Hadoop-supported
+    DFS alike; an Iceberg-backed store would use DELETE WHERE + snapshot
+    expiry instead). Rename is the closest-to-atomic primitive the layout
+    offers: the live dir is parked at ``<dir>.retired`` until the staged
+    dir lands, so a crash leaves either the old or the new asset whole,
+    never a half-written mix."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(live_dir).getFileSystem(conf)
+    retired = HPath(live_dir + ".retired")
+    fs.delete(retired, True)
+    if not fs.rename(HPath(live_dir), retired):
+        raise IOError(f"compact: could not park {live_dir}")
+    if not fs.rename(HPath(staged_dir), HPath(live_dir)):
+        # roll back so the store is still readable
+        fs.rename(retired, HPath(live_dir))
+        raise IOError(f"compact: could not land {staged_dir}")
+    fs.delete(retired, True)
+
+
+def compact_minhash_store(spark, path: str, delete_ids) -> dict:
+    """Retire deleted documents from a persisted minhash store — the
+    retention discipline the reference applies to its history tables
+    (models/history.py:51-53, trim/remove on update) carried over to the
+    dedup assets, so the store does not grow monotonically under churn.
+
+    Both assets are rewritten WITHOUT the retired ids (one doc_id-pruned
+    anti-join scan each — no shingle payload is ever collected), staged
+    next to the live directories, then swapped in. Asset order mirrors
+    :func:`append_to_minhash_store`'s crash-safety argument, inverted for
+    deletes: SIGNATURES are swapped first, so a crash between the two
+    swaps leaves retired ids with shingles but no signatures — harmless
+    (they can never band into a candidate) — whereas the opposite order
+    could leave a signature whose verify-side shingles are gone, silently
+    zeroing every Jaccard that touches it.
+
+    ``delete_ids``: a DataFrame with a ``doc_id`` column, or a Python
+    iterable of ids (kept driver-side only long enough to build a frame).
+    Returns ``{"retired": n_removed_docs, "remaining": n_left_docs}``.
+    Deleting ids absent from the store is a no-op for those ids.
+    """
+    if not isinstance(delete_ids, DataFrame):
+        delete_ids = spark.createDataFrame(
+            [(str(i),) for i in delete_ids], "doc_id string")
+
+    sig = spark.read.parquet(f"{path}/signatures")
+    # align the id type to the store's (ANSI mode: a plain cast on an
+    # unparseable id aborts the job; try_cast -> NULL -> dropped -> no-op,
+    # matching "deleting absent ids is a no-op")
+    id_type = sig.schema["doc_id"].dataType
+    dels = (delete_ids.select(F.col("doc_id").try_cast(id_type)
+                              .alias("doc_id"))
+                      .filter(F.col("doc_id").isNotNull()).distinct())
+    kept_sig = sig.join(dels, "doc_id", "left_anti")
+    kept_sig.write.mode("overwrite").parquet(f"{path}/signatures.staged")
+    kept_sh = spark.read.parquet(f"{path}/shingles") \
+                   .join(dels, "doc_id", "left_anti")
+    kept_sh.write.mode("overwrite").parquet(f"{path}/shingles.staged")
+
+    n_before = sig.select("doc_id").distinct().count()
+    _swap_asset_dir(spark, f"{path}/signatures", f"{path}/signatures.staged")
+    _swap_asset_dir(spark, f"{path}/shingles", f"{path}/shingles.staged")
+    n_after = spark.read.parquet(f"{path}/signatures") \
+                   .select("doc_id").distinct().count()
+    return {"retired": n_before - n_after, "remaining": n_after}
+
+
 # ---------------------------------------------------------------- SimHash ----
 
 def simhash(docs: DataFrame, text_col: str = "text",

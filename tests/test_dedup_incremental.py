@@ -113,3 +113,52 @@ def test_in_store_dedup_equals_one_shot(spark, docs, tmp_path_factory):
         assert got == want and (thr > 0.8 or got)
     for f in reg:
         f.unpersist()
+
+
+def test_compact_store_retires_deleted_docs(spark, docs, tmp_path_factory):
+    """Store lifecycle under churn (VERDICT r04 #6): delete a slice of the
+    corpus, compact, and (a) pairs over the survivors are EXACTLY the
+    one-shot dedup of the surviving docs, (b) the retired ids are really
+    gone (an append re-using one no longer trips the disjointness guard),
+    (c) the compaction accounting matches the slice size."""
+    from pyanomalydetector_spark.operators.dedup import (
+        compact_minhash_store, minhash_pairs_in_store)
+
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    path = str(tmp_path_factory.mktemp("mhcomp") / "store")
+    build_minhash_store(docs, path)
+
+    doomed = docs.filter(part == 2).select("doc_id")
+    n_doomed = doomed.count()
+    survivors = docs.filter(part != 2)
+    assert 0 < n_doomed < docs.count()
+
+    stats = compact_minhash_store(spark, path, doomed)
+    assert stats["retired"] == n_doomed
+    assert stats["remaining"] == survivors.count()
+
+    reg = []
+    got = _keyed(minhash_pairs_in_store(spark, path,
+                                        cache_registry=reg).collect())
+    for f in reg:
+        f.unpersist()
+    want = _keyed(minhash_dedup_pairs(survivors).collect())
+    assert got == want and got   # non-empty: fixture has surviving dups
+
+    # retired ids are free again: re-ingesting one passes the guard and
+    # the batch's pairs equal the one-shot over survivors+batch
+    reborn = docs.filter(part == 2).limit(5)
+    reg = []
+    p = _keyed(minhash_pairs_vs_store(reborn, path,
+                                      cache_registry=reg).collect())
+    for f in reg:
+        f.unpersist()
+    reborn_full = survivors.unionByName(reborn)
+    surv_ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    expected = _keyed([r for r in minhash_dedup_pairs(reborn_full).collect()
+                       if not (r["d1"] in surv_ids and r["d2"] in surv_ids)])
+    assert p == expected
+
+    # a python-list id spec works too, and deleting absent ids is a no-op
+    stats2 = compact_minhash_store(spark, path, ["no_such_doc_id"])
+    assert stats2["retired"] == 0 and stats2["remaining"] == stats["remaining"]
