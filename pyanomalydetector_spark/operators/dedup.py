@@ -236,8 +236,19 @@ def lsh_candidates(sig: DataFrame, bands: int = 10, rows: int = 3,
     bucket become candidates. Shuffle is by (band, bucket) — collision
     groups only, never the full pair space. ``max_bucket`` skips hot
     collision groups (see :func:`_cap_buckets`).
+
+    The explicit ``repartition(band, bucket)`` BELOW the arm aliases is a
+    shuffle-count optimization, not a semantic one: the two self-join arms
+    differ only by alias, so without it each arm plans its own Exchange
+    over its own copy of the stack (alias-bearing Projects make the
+    Exchanges non-identical — ReuseExchange never fires). With the
+    repartition below the aliases both arms share ONE identical Exchange,
+    so the stack is banded and shuffled once, and the hot-bucket window
+    (same keys) rides the same partitioning.
     """
-    stacked = _cap_buckets(_band_stack(sig, bands, rows), max_bucket)
+    stacked = _cap_buckets(
+        _band_stack(sig, bands, rows).repartition("band", "bucket"),
+        max_bucket)
     a = stacked.select(F.col("doc_id").alias("d1"), "band", "bucket")
     b = stacked.select(F.col("doc_id").alias("d2"), "band", "bucket")
     return (
@@ -274,8 +285,20 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     # version did, is a memory liability at exactly the corpora dedup is
     # for. Eager count: the consumers are concurrent stages of one job and
     # a lazy cache would be raced (the documented lazy-persist race).
+    #
+    # The cache is partitioned by (band, bucket) BEFORE persist: all three
+    # consumers — both self-join arms and the candidate-id window below —
+    # require exactly that distribution, and a cached plan's output
+    # partitioning is honored downstream (Spark 4 default
+    # canChangeCachedPlanOutputPartitioning=false), so ONE exchange at
+    # cache-fill time replaces three full-stack exchanges after it
+    # (verified in tests/test_explain_plans.py). The shingle frame `sh` is
+    # deliberately NOT repartitioned by doc_id: the signature groupBy's
+    # map-side partial min-states (~250 B/doc) shuffle far less than raw
+    # shingles would, and a pre-partition would forfeit that combine.
     stacked = _cap_buckets(
-        _band_stack(minhash_signatures(sh, num_hashes), bands, rows),
+        _band_stack(minhash_signatures(sh, num_hashes), bands, rows)
+        .repartition("band", "bucket"),
         max_bucket).persist()
     if cache_registry is not None:
         cache_registry.append(stacked)
@@ -469,9 +492,13 @@ def minhash_pairs_vs_store(new_docs: DataFrame, path: str,
         cache_registry.append(sh_new)
     # cached + eagerly materialized: consumed by the vs-store join AND both
     # arms of the within-batch self-join (alias-only arms don't reuse
-    # exchanges; concurrent stages would each recompute a lazy cache)
+    # exchanges; concurrent stages would each recompute a lazy cache).
+    # Partitioned by (band, bucket) at cache time so all three consumers
+    # reuse the cached distribution instead of re-exchanging (see
+    # minhash_dedup_pairs).
     stack_new = _band_stack(minhash_signatures(sh_new, num_hashes),
-                            bands, rows).persist()
+                            bands, rows) \
+        .repartition("band", "bucket").persist()
     if cache_registry is not None:
         cache_registry.append(stack_new)
     stack_new.count()
@@ -525,7 +552,8 @@ def minhash_pairs_in_store(spark, path: str, threshold: float = 0.8,
     bands, rows = int(m["bands"]), int(m["rows"])
 
     stacked = _cap_buckets(
-        _band_stack(spark.read.parquet(f"{path}/signatures"), bands, rows),
+        _band_stack(spark.read.parquet(f"{path}/signatures"), bands, rows)
+        .repartition("band", "bucket"),
         max_bucket).persist()
     if cache_registry is not None:
         cache_registry.append(stacked)
@@ -685,7 +713,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             for b in range(n_bands)
         ])).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
-    stacked = _cap_buckets(stacked, max_bucket)
+    # one shared Exchange below the arm aliases (ReuseExchange fires on the
+    # identical subtree; alias-bearing arms otherwise exchange twice) — the
+    # same shuffle-dedup as lsh_candidates/minhash_dedup_pairs
+    stacked = _cap_buckets(stacked.repartition("band", "bucket"), max_bucket)
     a = stacked.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("f1"),
                        "band", "bucket")
     b = stacked.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("f2"),

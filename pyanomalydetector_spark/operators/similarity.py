@@ -176,7 +176,12 @@ def cosine_pairs_above_lsh(emb: DataFrame, threshold: float = 0.9,
     # without the cache the Arrow matmul pass over every embedding runs
     # once per arm (same gap as the minhash/simhash banding joins). Rows
     # are (long, int, long) — bands rows per doc, payload-free.
+    # Partitioned by (band, bucket) at cache time: both join arms and the
+    # optional hot-bucket window need exactly that distribution, and the
+    # cached partitioning is honored downstream — one exchange at cache
+    # fill instead of one per consumer (see dedup.minhash_dedup_pairs).
     sig = emb.mapInPandas(buckets, "vid long, band int, bucket long") \
+             .repartition("band", "bucket") \
              .persist()
     if cache_registry is not None:
         cache_registry.append(sig)

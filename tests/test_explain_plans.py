@@ -304,3 +304,79 @@ def test_session_disables_call_site_capture(spark):
         "spark.python.sql.dataFrameDebugging.enabled") == "false"
     from pyspark.errors.utils import is_debugging_enabled
     assert not is_debugging_enabled()
+
+
+def _count_shuffle_exchanges(df) -> int:
+    """ShuffleExchangeExec nodes ABOVE any InMemoryTableScan (walking the
+    physical tree never descends into a cached relation's stored plan, so
+    the cache-fill exchange is not counted — that is the point: it ran
+    once, at persist time)."""
+    jplan = df._jdf.queryExecution().executedPlan()
+    if jplan.nodeName().startswith("AdaptiveSparkPlan"):
+        jplan = jplan.initialPlan()
+
+    def walk(node):
+        n = 1 if node.nodeName() == "Exchange" else 0
+        for i in range(node.children().size()):
+            n += walk(node.children().apply(i))
+        return n
+
+    return walk(jplan)
+
+
+def test_band_stack_cache_partitioning_elides_consumer_shuffles(spark, sf_dir):
+    """The banded-LSH stack is cached pre-partitioned by (band, bucket); its
+    three consumers — both self-join arms and the candidate-id window —
+    must all reuse that distribution: ZERO shuffle exchanges above the
+    InMemoryTableScans (one exchange at cache-fill replaces three after
+    it). Regression here = Spark stopped honoring cached-plan output
+    partitioning (canChangeCachedPlanOutputPartitioning flipped) or the
+    repartition was dropped."""
+    from pyanomalydetector_spark.operators.dedup import (
+        _band_stack, hashed_shingles, minhash_signatures,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    stacked = _band_stack(
+        minhash_signatures(hashed_shingles(docs), 30), 10, 3) \
+        .repartition("band", "bucket").persist()
+    try:
+        stacked.count()
+        a = stacked.select(F.col("doc_id").alias("d1"), "band", "bucket")
+        b = stacked.select(F.col("doc_id").alias("d2"), "band", "bucket")
+        cand = (a.join(b, ["band", "bucket"])
+                 .filter(F.col("d1") < F.col("d2")).select("d1", "d2"))
+        # no .distinct() here — its pair-keyed exchange is semantic; this
+        # gate is about the (band, bucket) joins/window only
+        assert _count_shuffle_exchanges(cand) == 0, \
+            cand._jdf.queryExecution().executedPlan().toString()[:3000]
+
+        w = Window.partitionBy("band", "bucket")
+        cand_ids = (stacked.withColumn("_n", F.count(F.lit(1)).over(w))
+                           .filter(F.col("_n") > 1).select("doc_id"))
+        assert _count_shuffle_exchanges(cand_ids) == 0, \
+            cand_ids._jdf.queryExecution().executedPlan().toString()[:3000]
+    finally:
+        stacked.unpersist()
+
+
+def test_lsh_candidates_reuses_band_stack_exchange(spark, sf_dir):
+    """Uncached lsh_candidates: the explicit repartition below the arm
+    aliases makes both arms' Exchanges identical, so the stack is computed
+    and shuffled ONCE (ReusedExchange / AQE stage dedup) instead of once
+    per arm."""
+    from pyanomalydetector_spark.operators.dedup import (
+        hashed_shingles, lsh_candidates, minhash_signatures,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidates(minhash_signatures(hashed_shingles(docs), 30),
+                          bands=10, rows=3)
+    cand.collect()          # reuse materializes via AQE stage dedup — and
+    # collect() (not count()) so THIS df's own QueryExecution is the one
+    # that runs (count() executes a different plan)
+    plan = _plan(cand)
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[:3000]
+    # one pass over the corpus: a single parquet scan feeds the shared stack
+    assert plan.split("== Initial Plan ==")[0].count("Scan parquet") == 1, \
+        plan[:3000]
