@@ -640,7 +640,12 @@ def _q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.4 over all pairs, computed by
-    blocked BLAS matrix products (the scale path; oracle = brute force)."""
+    blocked BLAS matrix products. Deliberately the EXACT bounded-N kernel
+    (O(N²) block pairs — see cosine_pairs_above_blocked's quadratic-bound
+    note): at a 0.4 threshold on an isotropic fixture LSH has no usable
+    collision gap, so this query keeps exact-oracle parity while the scale
+    route is verified separately as `emb_cosine_lsh` (sub-quadratic
+    hyperplane candidates at a high threshold on the clustered fixture)."""
     from pyanomalydetector_spark.operators.similarity import (
         cosine_pairs_above_blocked,
     )
