@@ -1,0 +1,69 @@
+#!/bin/bash
+# Round-5 scaling-evidence protocol (the shape BENCH_SCALING.json reports):
+#
+#   1. full 32M ladder — one clean JVM per rung (tools/scaling_bench.py
+#      --run child mode), min-of-2 samples, pure-CPU probe BEFORE and AFTER
+#      each rung (host-window calibration);
+#   2. 103M same-window criterion pairs — the N->4N rule is a RATIO, so
+#      local[1] and local[4] are measured back-to-back in one host window
+#      (probe bracketing discloses that window's ceiling);
+#   3. the 0.1B-row local[32] point (min-of-2).
+#
+# Usage: tools/scaling_pairs.sh [logfile]   (default /tmp/r05_ladder.log)
+# Compose BENCH_SCALING.json from the log afterwards (the per-round
+# composer keeps every raw reading; see BASELINE.md "scaling evidence").
+cd "$(dirname "$0")/.." || exit 1
+LOG=${1:-/tmp/r05_ladder.log}
+: > "$LOG"
+
+probe() {
+  python - "$1" <<'PY' 2>/dev/null
+import sys, time
+sys.path.insert(0, ".")
+from pyanomalydetector_spark.session import get_spark
+from pyspark.sql import functions as F
+cores = int(sys.argv[1])
+s = get_spark("probe", master=f"local[{cores}]"); s.range(1000).count()
+t = time.perf_counter()
+s.range(0, 2_000_000_000, 1, 128).select(F.xxhash64("id").alias("h")) \
+ .select(F.sum(F.pmod("h", F.lit(997)))).collect()
+print(f"PROBE cores={cores} sec={time.perf_counter()-t:.2f}")
+s.stop()
+PY
+}
+
+run() {
+  python tools/scaling_bench.py --run "$1" "$2" 2>/dev/null | tail -1 | \
+    python -c "import json,sys;d=json.loads(sys.stdin.read());print(f'RUN cores=$1 nrows={d[\"n_rows\"]} sec={d[\"sec\"]:.2f}')"
+}
+
+echo "=== 32M ladder (2 samples per rung, probe per rung) ===" >> "$LOG"
+for c in 1 4 8 32; do
+  probe $c >> "$LOG"; run $c 32000000 >> "$LOG"
+  run $c 32000000 >> "$LOG"; probe $c >> "$LOG"
+done
+
+echo "=== generate 103M ===" >> "$LOG"
+python - <<'PY' 2>/dev/null >> "$LOG"
+import sys, os
+sys.path.insert(0, "tools"); sys.path.insert(0, ".")
+import scaling_bench as sb
+sb.N_ROWS = 100000000
+sb.DATA = os.path.abspath("data/scalebench/seq_100000000.parquet")
+if not os.path.isdir(sb.DATA):
+    sb.generate(100000000)
+print("GEN done")
+PY
+
+echo "=== 103M same-window pair #1 (probe,1,4,probe) ===" >> "$LOG"
+probe 1 >> "$LOG"; run 1 100000000 >> "$LOG"
+probe 4 >> "$LOG"; run 4 100000000 >> "$LOG"
+
+echo "=== 0.1B local[32] point x2 ===" >> "$LOG"
+probe 32 >> "$LOG"; run 32 100000000 >> "$LOG"
+run 32 100000000 >> "$LOG"; probe 32 >> "$LOG"
+
+echo "=== 103M same-window pair #2 ===" >> "$LOG"
+probe 1 >> "$LOG"; run 1 100000000 >> "$LOG"
+probe 4 >> "$LOG"; run 4 100000000 >> "$LOG"
+echo "ALL DONE" >> "$LOG"
