@@ -681,23 +681,24 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     ``bit_count(xor) ≤ h`` filter confirms. Returns ``(d1, d2, hamming)``.
     ``max_bucket`` skips hot collision groups (see :func:`_cap_buckets`).
 
-    The fingerprint frame (one 16-byte row per doc — the cheapest frame in
-    the pipeline) is persisted and materialized eagerly: both arms of the
-    banding self-join consume it, their plans differ only by alias, and
-    ReuseExchange does NOT fire across them (measured: 2 parquet scans,
-    i.e. the word-explode + 32-agg groupBy ran twice). At sf0.1 the cache
-    barrier costs ~0.2 s (idle cores absorb the duplicate scan); at corpus
-    scale the duplicate is a second full scan + shuffle of every word hash
-    — the dominant stage — so the cache wins outright. Long-lived callers
-    pass ``cache_registry`` to collect it for unpersist after
-    materialization.
+    The cached multi-consumer frame is the BANDED STACK, partitioned by
+    (band, bucket) before persist — the same layout discipline as
+    minhash_dedup_pairs: both self-join arms (which differ only by alias,
+    so ReuseExchange never fires across them — measured: the word-explode
+    + 32-agg groupBy ran twice without a cache) and the optional
+    hot-bucket window all need exactly that distribution, and a cached
+    plan's output partitioning is honored downstream, so the fingerprint
+    computation runs once and NOTHING re-shuffles after the cache fill.
+    The stack carries ``simhash`` (needed by the exact hamming confirm),
+    so it subsumes the fingerprint frame an earlier version cached —
+    footprint is bands× more rows but still 32 B each, the cheapest frame
+    in the pipeline. Eagerly materialized (lazy caches race concurrent
+    stages); long-lived callers pass ``cache_registry`` to collect it for
+    unpersist after materialization.
     """
     n_bands = max_hamming + 1
     band_width = bits // n_bands
-    sh = simhash(_parallelize_narrow_scan(docs), text_col, bits=bits).persist()
-    if cache_registry is not None:
-        cache_registry.append(sh)
-    sh.count()
+    sh = simhash(_parallelize_narrow_scan(docs), text_col, bits=bits)
 
     def band_val(col, b):
         # bits [b*w, (b+1)*w) — last band takes the remainder
@@ -713,10 +714,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             for b in range(n_bands)
         ])).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
-    # one shared Exchange below the arm aliases (ReuseExchange fires on the
-    # identical subtree; alias-bearing arms otherwise exchange twice) — the
-    # same shuffle-dedup as lsh_candidates/minhash_dedup_pairs
-    stacked = _cap_buckets(stacked.repartition("band", "bucket"), max_bucket)
+    stacked = _cap_buckets(stacked.repartition("band", "bucket"),
+                           max_bucket).persist()
+    if cache_registry is not None:
+        cache_registry.append(stacked)
+    stacked.count()
     a = stacked.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("f1"),
                        "band", "bucket")
     b = stacked.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("f2"),
