@@ -301,10 +301,19 @@ def _unique_per_part(df: DataFrame, key: str, pcol: str,
         F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup_keys"),
         F.sum("cnt").alias("rows_scanned"),
     )
-    dup_rows = counts.filter(F.col("cnt") > 1)
-    # bound the per-partition array: rank duplicates (worst first — the
-    # window shuffles only the cnt>1 rows, not the corpus) and keep the
-    # top max_dup_emit; determinism via the (cnt desc, key) order
+    return _attach_dup_lists(scalars, counts.filter(F.col("cnt") > 1),
+                             key, max_dup_emit)
+
+
+def _attach_dup_lists(scalars: DataFrame, dup_rows: DataFrame, key: str,
+                      max_dup_emit: int) -> DataFrame:
+    """Attach the capped duplicate list to the per-partition scalar rollup.
+
+    ``dup_rows`` is (partition_id, <key>, cnt) with cnt > 1 only — bounded
+    by #violations, never the corpus. Bound the per-partition array: rank
+    duplicates (worst first) and keep the top ``max_dup_emit``;
+    determinism via the (cnt desc, key) order.
+    """
     w_rank = Window.partitionBy("partition_id") \
                    .orderBy(F.col("cnt").desc(), F.col(key))
     dup_rows = dup_rows.withColumn("_rn", F.row_number().over(w_rank)) \
@@ -325,6 +334,82 @@ def _unique_per_part(df: DataFrame, key: str, pcol: str,
         "left").drop("_dp")
 
 
+def _unique_per_part_digest(df: DataFrame, key: str, pcol: str,
+                            max_dup_emit: int = 100_000) -> DataFrame:
+    """Digest-prefilter uniqueness rollup — same output contract as
+    :func:`_unique_per_part` (``(partition_id, n_keys, n_dup_keys,
+    rows_scanned, _dups)``, all EXACT), different shuffle shape.
+
+    Two passes: (1) shuffle only an 8-byte ``xxhash64(partition, key)``
+    digest and count per digest — the big all-to-all moves 8 B/row instead
+    of the full key payload (the round-4 measurement in
+    :func:`_unique_per_part`'s docstring: the hash shuffle alone is 1.6×
+    faster at 32M rows); (2) semi-join the scan back to the COLLIDING
+    digests only and group exactly by (partition, real key) — duplicate
+    counts and dup lists are exact by construction, and a 64-bit collision
+    between distinct keys costs only a wasted exact-confirm row (it groups
+    to cnt=1 and is dropped), never a wrong answer.
+
+    Exactness bookkeeping for ``n_keys``: distinct digests undercount by
+    one per colliding digest that holds two distinct real keys, so
+    ``n_keys = (distinct digests − colliding digests) + (distinct real
+    keys inside colliding digests)`` — the last two terms come from the
+    confirm pass.
+
+    The trade vs the direct aggregation, measured at 32M rows/local[32]
+    (round 5, warm min-of-3): direct 5.3 s, digest 9.2 s — locally the
+    shuffle is memory-speed so the payload saving buys nothing and the
+    confirm re-scan is pure overhead. The digest route exists for
+    network-shuffled clusters where the all-to-all is the bottleneck and
+    the key is wider than its 8-byte digest (URLs, long doc ids): there
+    the big shuffle's bytes drop by the key/digest width ratio and the
+    confirm pass touches only colliding groups. Opt-in
+    (``digest_prefilter: True``), never the default.
+    """
+    base = df.select(F.col(pcol).alias("partition_id"), F.col(key))
+    # one digest over (partition, key): the confirm semi-join can then key
+    # on the digest alone (never NULL — xxhash64 of a NULL field is the
+    # seed hash), sidestepping NULL-partition equality; a cross-partition
+    # digest collision only adds a wasted exact-confirm row
+    hashed = base.withColumn("_ph", F.xxhash64("partition_id", F.col(key)))
+    hcounts = hashed.groupBy("partition_id", "_ph") \
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+    scalars0 = hcounts.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("_n_digests"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("_n_colliding"),
+        F.sum("cnt").alias("rows_scanned"),
+    )
+    # the colliding set keys on (partition, digest), NULL-SAFE on the
+    # partition: a digest-only semi-join could pull in a row from ANOTHER
+    # partition that shares the digest by 64-bit accident, and that row
+    # would inflate its own partition's n_keys via _k_distinct (its digest
+    # is already counted in _n_digests)
+    coll = hcounts.filter(F.col("cnt") > 1) \
+                  .select(F.col("partition_id").alias("_kp"),
+                          F.col("_ph").alias("_kh"))
+    confirm = (hashed.join(
+            coll,
+            (hashed["_ph"] == coll["_kh"])
+            & hashed["partition_id"].eqNullSafe(coll["_kp"]), "left_semi")
+                     .groupBy("partition_id", key)
+                     .agg(F.count(F.lit(1)).alias("cnt")))
+    per_confirm = confirm.groupBy(F.col("partition_id").alias("_cp")).agg(
+        F.count(F.lit(1)).alias("_k_distinct"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+    )
+    scalars = (scalars0.join(
+            per_confirm,
+            scalars0["partition_id"].eqNullSafe(per_confirm["_cp"]), "left")
+        .drop("_cp")
+        .na.fill({"_k_distinct": 0, "n_dup_keys": 0})
+        .select("partition_id",
+                (F.col("_n_digests") - F.col("_n_colliding")
+                 + F.col("_k_distinct")).alias("n_keys"),
+                "n_dup_keys", "rows_scanned"))
+    return _attach_dup_lists(scalars, confirm.filter(F.col("cnt") > 1),
+                             key, max_dup_emit)
+
+
 def _check_unique(df: DataFrame, check: Check, pcol: str) -> CheckResult:
     """Key-uniqueness check with exact duplicate emission.
 
@@ -342,9 +427,20 @@ def _check_unique(df: DataFrame, check: Check, pcol: str) -> CheckResult:
     (e.g. collecting the duplicate rows themselves) or sort-based fallback
     paths. Skewed *joins* elsewhere in the engine are covered by AQE
     (session.py: spark.sql.adaptive.skewJoin.enabled).
+
+    ``digest_prefilter: True`` routes to :func:`_unique_per_part_digest` —
+    the all-to-all shuffles an 8-byte digest instead of the key payload and
+    only colliding digest groups are exact-confirmed. Same exact outputs;
+    the right trade on network-shuffled clusters with wide keys (see the
+    variant's docstring). Mutually exclusive with ``salt_buckets`` (digest
+    groups are high-cardinality by construction, salting adds nothing).
     """
     key = check.params.get("key", "doc_id")
     salt_buckets = int(check.params.get("salt_buckets", 0))
+    digest_prefilter = bool(check.params.get("digest_prefilter", False))
+    if digest_prefilter and salt_buckets:
+        raise ValueError("unique check: digest_prefilter and salt_buckets "
+                         "are mutually exclusive")
     # ``max_dup_emit``: per-partition cap on EMITTED duplicate rows (the
     # verdict's n_violations stays exact; see _unique_per_part)
     max_dup_emit = int(check.params.get("max_dup_emit", 100_000))
@@ -358,8 +454,12 @@ def _check_unique(df: DataFrame, check: Check, pcol: str) -> CheckResult:
     # defers it to materialize(), where every cached frame's first count
     # runs CONCURRENTLY with the others — the unique shuffle now overlaps
     # the fused aggregate pass (measured 53 s → ~44 s at local[4]/32M).
-    per_part = _unique_per_part(df, key, pcol, salt_buckets,
-                                max_dup_emit).persist()
+    if digest_prefilter:
+        per_part = _unique_per_part_digest(df, key, pcol,
+                                           max_dup_emit).persist()
+    else:
+        per_part = _unique_per_part(df, key, pcol, salt_buckets,
+                                    max_dup_emit).persist()
 
     dups = per_part.select(
         "partition_id", F.explode("_dups").alias("d")

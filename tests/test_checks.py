@@ -486,3 +486,43 @@ def test_token_invariant_conflicting_snapshot_duplicates_canonical(spark):
         spark.createDataFrame([("d", other, len(other), "s")], _SCHEMA),
         [Check("tok", "token_invariant", {"expected": snapshot})])
     assert res2.violations.count() == 1
+
+
+def test_unique_digest_prefilter_equals_direct(spark, seq):
+    """The opt-in digest-prefilter unique route must produce EXACTLY the
+    direct aggregation's outputs — verdicts (n_keys/n_dup_keys/
+    rows_scanned all exact despite the 8-byte digest shuffle) and the
+    capped duplicate lists — on the fixture with injected dups and on a
+    NULL-partition/NULL-key frame."""
+    direct = run_checks(seq, [Check("u", "unique", {"key": "doc_id"})])
+    digest = run_checks(seq, [Check("u", "unique",
+                                    {"key": "doc_id",
+                                     "digest_prefilter": True})])
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(digest.verdicts) == as_set(direct.verdicts)
+    assert as_set(digest.violations) == as_set(direct.violations)
+
+    # NULL partition and NULL key rows must group/attach identically
+    rows = [("k1", [1], 1, None), ("k1", [1], 1, None),
+            (None, [1], 1, None), (None, [1], 1, None),
+            ("k2", [1], 1, "s0"), ("k2", [1], 1, "s0"), ("k3", [1], 1, "s0")]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    d1 = run_checks(df, [Check("u", "unique", {"key": "doc_id"})])
+    d2 = run_checks(df, [Check("u", "unique", {"key": "doc_id",
+                                               "digest_prefilter": True})])
+    assert as_set(d2.verdicts) == as_set(d1.verdicts)
+    assert as_set(d2.violations) == as_set(d1.violations)
+
+    # scalar internals too (n_keys is not surfaced by the verdict):
+    from pyanomalydetector_spark.checks.core import (
+        _unique_per_part, _unique_per_part_digest)
+    a = _unique_per_part(df, "doc_id", "source") \
+        .select("partition_id", "n_keys", "n_dup_keys", "rows_scanned")
+    b = _unique_per_part_digest(df, "doc_id", "source") \
+        .select("partition_id", "n_keys", "n_dup_keys", "rows_scanned")
+    assert as_set(a) == as_set(b)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_checks(df, [Check("u", "unique",
+                              {"key": "doc_id", "digest_prefilter": True,
+                               "salt_buckets": 4})])
