@@ -742,13 +742,21 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     smallest doc id reachable through dup edges), which is the canonical
     keeper; all other members are the removal set.
 
-    Distributed min-label propagation: per round, every node takes the min
-    of its own label and its neighbours' labels (one join + one min-agg),
-    with a localCheckpoint lineage cut per round; converges in
-    O(component diameter) rounds — near-dup clusters are shallow (dups of a
-    common original), so this is a handful of rounds in practice. The
-    iteration count is capped and convergence is detected with an
-    O(changed)-cost anti-join probe.
+    Distributed min-label propagation with POINTER JUMPING: per round,
+    every node takes the min of its own label and its neighbours' labels
+    (one join + one min-agg), then compresses label chains one hop
+    (``label ← label(label)`` — sound because labels are monotonically
+    decreasing node ids inside the node's own component, so chasing a
+    label stays within the component and can only move toward its min).
+    The jump is the Hash-to-Min/pointer-doubling idea (Rastogi et al.,
+    "Finding Connected Components in Map-Reduce", ICDE 2013): combined
+    rounds converge in O(log diameter) instead of O(diameter), so a
+    pathological dup CHAIN (templated docs A≈B≈C≈…, diameter ~cluster
+    size) needs ~log₂(n) rounds where plain propagation needs n — with
+    ``max_iters=50`` the algorithm now covers any component a 10¹²-row
+    corpus could contain (2⁵⁰ diameter) rather than failing loudly at
+    depth 50. A localCheckpoint cuts lineage per round; convergence is
+    detected with an O(changed)-cost probe.
 
     Returns ``(doc_id, cluster_rep)`` for every doc appearing in a pair.
     """
@@ -772,7 +780,17 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                           F.least("label",
                                   F.coalesce("_nl", F.col("label")))
                            .alias("label"))
-                  .localCheckpoint()
+        )
+        # pointer jump: label ← label(label). Every label IS a node (labels
+        # start as self and only ever take existing node ids), so the
+        # mapping join always resolves; left join + coalesce keeps
+        # self-labelled roots (label(x) = x) unchanged.
+        m = new.select(F.col("node").alias("_mn"), F.col("label").alias("_ml"))
+        new = (
+            new.join(m, new["label"] == m["_mn"], "left")
+               .select("node",
+                       F.coalesce("_ml", F.col("label")).alias("label"))
+               .localCheckpoint()
         )
         changed = new.alias("n").join(
             labels.alias("o"), "node").filter(F.col("n.label") != F.col("o.label"))

@@ -361,8 +361,8 @@ def test_repetition_and_pii_extremes(spark):
 
 
 def test_duplicate_clusters_raises_when_unconverged(spark):
-    """A chain deeper than the iteration cap must raise, never return a
-    partially propagated labelling."""
+    """A chain deeper than the iteration cap can cover must raise, never
+    return a partially propagated labelling."""
     from pyanomalydetector_spark.operators.dedup import duplicate_clusters
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "d1 long, d2 long")
@@ -370,8 +370,26 @@ def test_duplicate_clusters_raises_when_unconverged(spark):
     got = {r["doc_id"]: r["cluster_rep"]
            for r in duplicate_clusters(chain).collect()}
     assert set(got.values()) == {0}
+    # one round (neighbour-min + one pointer jump) reaches ≤ ~4 hops; a
+    # 100-deep chain cannot converge in it
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "d1 long, d2 long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(chain, max_iters=3)
+        duplicate_clusters(deep, max_iters=1)
+
+
+def test_duplicate_clusters_deep_chain_logarithmic_rounds(spark):
+    """Pointer jumping must converge a 64-deep chain (worst case for plain
+    propagation, which needs ~63 rounds) within 10 rounds — the
+    O(log diameter) guarantee that makes pathological templated-doc dup
+    CHAINS safe under the default iteration cap."""
+    from pyanomalydetector_spark.operators.dedup import duplicate_clusters
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "d1 long, d2 long")
+    got = {r["doc_id"]: r["cluster_rep"]
+           for r in duplicate_clusters(chain, max_iters=10).collect()}
+    assert set(got) == set(range(64))
+    assert set(got.values()) == {0}
 
 
 def test_similarity_kernels_tolerate_null_and_ragged_embeddings(spark):
