@@ -145,6 +145,24 @@ def _q_seq_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seq_unique_violations_digest(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Uniqueness via the opt-in digest-prefilter route (checks/core.py:
+    _unique_per_part_digest — the network-bound-cluster shuffle shape:
+    8-byte digests through the all-to-all, exact confirm of colliding
+    groups only). Outputs are EXACT by construction, so the same brute
+    SQL oracle applies; equivalence to the direct route is additionally
+    pinned in tests/test_checks.py."""
+    seq = load_sequences(spark, sf_dir)
+    res = run_checks(seq, [Check("uniq", "unique",
+                                 {"key": "doc_id",
+                                  "digest_prefilter": True})])
+    return res.violations.select(
+        "partition_id", "doc_id",
+        F.col("observed").cast("bigint").alias("dup_cnt"),
+    )
+
+
 def _q_seq_referential_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential check: source ∉ allowed dimension (broadcast anti-join)."""
     seq = load_sequences(spark, sf_dir)
@@ -1116,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_topn": _q_ev_topn,
         "emb_ann_ivf": _q_emb_ann_ivf,
         "emb_cosine_pairs": _q_emb_cosine_pairs,
+        "seq_unique_violations_digest": _q_seq_unique_violations_digest,
     }
 
 
@@ -2113,6 +2132,14 @@ def oracle_sql() -> dict[str, str]:
                         sqrt(list_dot_product(b.v, b.v))) AS cos_sim
                 FROM base a JOIN base b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.4
+        """,
+        # digest-prefilter route emits EXACT outputs — same oracle as the
+        # direct unique check
+        "seq_unique_violations_digest": f"""
+            SELECT source AS partition_id, doc_id, COUNT(*) AS dup_cnt
+            FROM {_SEQ}
+            GROUP BY source, doc_id
+            HAVING COUNT(*) > 1
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
