@@ -123,9 +123,33 @@ def main() -> None:
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("PROBE")][-1]
         return float(line.split()[1])
 
+    def shuffle_probe(cores: int) -> float:
+        """Shuffle/memory-bandwidth ceiling (same kernel as bench.py's
+        shuffle_probe_sec): 30M rows with unique keys, so map-side combine
+        can't shrink the exchange. The CPU probe misses this host's stall
+        windows (they hit the shuffle/memory path while the ALU stays
+        nominal — measured round 5); the ratio of this probe across rungs
+        also bounds any shuffle-bound workload's achievable scaling on this
+        VM, which the pure-ALU kernel overstates."""
+        code = (
+            "import sys,time;sys.path.insert(0,%r);"
+            "from pyanomalydetector_spark.session import get_spark;"
+            "from pyspark.sql import functions as F;"
+            "s=get_spark('sprobe',master='local[%d]');s.range(1000).count();"
+            "t=time.perf_counter();"
+            "s.range(0,30_000_000,1,64)"
+            ".select(F.xxhash64('id').alias('k'),F.col('id').alias('v'))"
+            ".groupBy('k').agg(F.sum('v').alias('s'))"
+            ".select(F.sum('s')).collect();"
+            "print('PROBE',time.perf_counter()-t);s.stop()" % (_REPO, cores))
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, check=True)
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("PROBE")][-1]
+        return float(line.split()[1])
+
     ladder = (1, 4, 8, 32)
     samples = int(os.environ.get("SCALING_SAMPLES", "2"))
-    results, probe = {}, {}
+    results, probe, sprobe = {}, {}, {}
     for cores in ladder:
         best, n_rows = None, 0
         for _ in range(samples):   # host capacity fluctuates; keep the min
@@ -139,8 +163,11 @@ def main() -> None:
         results[cores] = {"sec": round(best, 2),
                           "seq_per_sec": round(n_rows / best, 1)}
         probe[cores] = round(min(cpu_probe(cores) for _ in range(samples)), 2)
+        sprobe[cores] = round(min(shuffle_probe(cores)
+                                  for _ in range(samples)), 2)
         print(f"local[{cores}]: {best:.2f}s ({n_rows / best:,.0f} seq/s) "
-              f"probe={probe[cores]}s", file=sys.stderr)
+              f"probe={probe[cores]}s shuffle_probe={sprobe[cores]}s",
+              file=sys.stderr)
 
     def eff(lo, hi):
         return round((results[lo]["sec"] / results[hi]["sec"]) /
@@ -154,10 +181,15 @@ def main() -> None:
         "n_rows": N_ROWS,
         "engine": {f"local{c}": results[c] for c in ladder},
         "cpu_probe_sec": {f"local{c}": probe[c] for c in ladder},
+        "shuffle_probe_sec": {f"local{c}": sprobe[c] for c in ladder},
         "scaling_efficiency_1_to_4": eff(1, 4),
         "scaling_efficiency_8_to_32": eff(8, 32),
         "machine_ceiling_1_to_4": probe_eff(1, 4),
         "machine_ceiling_8_to_32": probe_eff(8, 32),
+        "shuffle_ceiling_1_to_4": round(
+            (sprobe[1] / sprobe[4]) / 4.0, 3),
+        "shuffle_ceiling_8_to_32": round(
+            (sprobe[8] / sprobe[32]) / 4.0, 3),
         "criterion": ">= 0.8 (BASELINE.json north rule, N -> 4N cores)",
         "note": ("headline N->4N pair is local[1]->local[4], the range where "
                  "the sandbox host itself scales near-ideally; at 8->32 the "

@@ -17,6 +17,9 @@ LOG=${1:-/tmp/r05_ladder.log}
 : > "$LOG"
 
 probe() {
+  # both calibration kernels, one JVM: pure-ALU (host CPU ceiling) and
+  # unique-key shuffle (memory/shuffle-bandwidth ceiling — the dimension
+  # this VM's stall windows actually hit; see BASELINE.md round 5)
   python - "$1" <<'PY' 2>/dev/null
 import sys, time
 sys.path.insert(0, ".")
@@ -28,6 +31,12 @@ t = time.perf_counter()
 s.range(0, 2_000_000_000, 1, 128).select(F.xxhash64("id").alias("h")) \
  .select(F.sum(F.pmod("h", F.lit(997)))).collect()
 print(f"PROBE cores={cores} sec={time.perf_counter()-t:.2f}")
+t = time.perf_counter()
+s.range(0, 30_000_000, 1, 64) \
+ .select(F.xxhash64("id").alias("k"), F.col("id").alias("v")) \
+ .groupBy("k").agg(F.sum("v").alias("s")) \
+ .select(F.sum("s")).collect()
+print(f"SPROBE cores={cores} sec={time.perf_counter()-t:.2f}")
 s.stop()
 PY
 }
