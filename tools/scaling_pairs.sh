@@ -75,4 +75,35 @@ run 32 100000000 >> "$LOG"; probe 32 >> "$LOG"
 echo "=== 103M same-window pair #2 ===" >> "$LOG"
 probe 1 >> "$LOG"; run 1 100000000 >> "$LOG"
 probe 4 >> "$LOG"; run 4 100000000 >> "$LOG"
+
+# Optional big-scale section (BIG=1): the 0.2B fixture's criterion pair,
+# the 8->32 driver-example rung, the 0.2B local[32] point, and the 0.4B
+# local[32] point (third doubling, ~30 GB parquet). These produced the
+# criterion_pairs_202M / pair_8_to_32_202M / point_0_2B / point_0_4B
+# entries in BENCH_SCALING.json.
+if [ "${BIG:-0}" = "1" ]; then
+  for n in 200000000 400000000; do
+    python - "$n" <<'PY' 2>/dev/null >> "$LOG"
+import sys, os
+sys.path.insert(0, "tools"); sys.path.insert(0, ".")
+import scaling_bench as sb
+n = int(sys.argv[1])
+sb.N_ROWS = n
+sb.DATA = os.path.abspath(f"data/scalebench/seq_{n}.parquet")
+if not os.path.isdir(sb.DATA):
+    sb.generate(n)
+print(f"GEN {n} done")
+PY
+  done
+  echo "=== 202M same-window 1->4 pair ===" >> "$LOG"
+  probe 1 >> "$LOG"; run 1 200000000 >> "$LOG"
+  probe 4 >> "$LOG"; run 4 200000000 >> "$LOG"; probe 4 >> "$LOG"
+  echo "=== 202M same-window 8->32 pair ===" >> "$LOG"
+  probe 8 >> "$LOG"; run 8 200000000 >> "$LOG"; run 8 200000000 >> "$LOG"
+  probe 8 >> "$LOG"; probe 32 >> "$LOG"
+  run 32 200000000 >> "$LOG"; run 32 200000000 >> "$LOG"; probe 32 >> "$LOG"
+  echo "=== 0.4B local[32] point x2 ===" >> "$LOG"
+  probe 32 >> "$LOG"; run 32 400000000 >> "$LOG"
+  run 32 400000000 >> "$LOG"; probe 32 >> "$LOG"
+fi
 echo "ALL DONE" >> "$LOG"
