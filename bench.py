@@ -10,7 +10,8 @@ Extras (informational, not part of the driver contract):
   (the BASELINE.json headline metric at this SF).
 - ``rows``: per-query result row counts (sanity that work actually happened).
 - ``probe_sec``: pure-CPU host-ceiling calibration (min of a start and an end
-  sample; same xxhash kernel as tools/scaling_bench.py) — engine changes
+  sample; the shared kernel in pyanomalydetector_spark/probes.py, same one
+  tools/scaling_bench.py and tools/scaling_pairs.sh run) — engine changes
   can't move it, so cross-round query deltas can be host-normalized.
 - ``shuffle_probe_sec``: shuffle/memory-bandwidth calibration (fixed 30M-row
   unique-key groupBy — all rows shuffle, partial combine can't help). The
@@ -88,38 +89,13 @@ def main() -> None:
     # warm the JVM/session with a trivial action so q1 doesn't pay startup
     spark.range(1000).count()
 
-    def cpu_probe() -> float:
-        """Host-ceiling calibration (same kernel as tools/scaling_bench.py):
-        a pure whole-stage-codegen xxhash-sum over range, near-zero memory
-        traffic. Engine changes cannot move this number — only host state
-        can — so the judge can separate host-day noise from engine deltas
-        by normalizing rounds on probe_sec (this VM's capacity swings ±40%
-        same-day; see BASELINE.md)."""
-        from pyspark.sql import functions as F
-        t0 = time.perf_counter()
-        (spark.range(0, 2_000_000_000, 1, 128)
-              .select(F.xxhash64("id").alias("h"))
-              .select(F.sum(F.pmod("h", F.lit(997)))).collect())
-        return round(time.perf_counter() - t0, 4)
-
-    def shuffle_probe() -> float:
-        """Shuffle/memory-bandwidth calibration: 30M rows with UNIQUE keys
-        (xxhash64 of id), so map-side combine can't shrink the exchange and
-        every row crosses the shuffle. Engine-independent, like cpu_probe —
-        but sensitive to the host dimension cpu_probe misses (this VM's
-        multi-second stall windows land on the shuffle/memory path while the
-        pure-ALU kernel stays nominal; see module docstring)."""
-        from pyspark.sql import functions as F
-        t0 = time.perf_counter()
-        (spark.range(0, 30_000_000, 1, 64)
-              .select(F.xxhash64("id").alias("k"), F.col("id").alias("v"))
-              .groupBy("k").agg(F.sum("v").alias("s"))
-              .select(F.sum("s")).collect())
-        return round(time.perf_counter() - t0, 4)
-
-    # probe at start AND end: the bench takes minutes and host windows shift
-    probe_samples = [cpu_probe()]
-    shuffle_probe_samples = [shuffle_probe()]
+    # Host calibration: the SHARED kernels (pyanomalydetector_spark/probes.py
+    # — single definition for bench.py / scaling_bench.py / scaling_pairs.sh,
+    # so cross-tool probe readings stay comparable by construction).
+    # Probe at start AND end: the bench takes minutes and host windows shift.
+    from pyanomalydetector_spark.probes import cpu_probe, shuffle_probe
+    probe_samples = [cpu_probe(spark)]
+    shuffle_probe_samples = [shuffle_probe(spark)]
 
     def isolate():
         """Per-sample isolation: clear the structural cache AND unpersist
@@ -277,8 +253,8 @@ def main() -> None:
         "rows": rows,
         "samples_per_query": N_SAMPLES,
     }
-    probe_samples.append(cpu_probe())
-    shuffle_probe_samples.append(shuffle_probe())
+    probe_samples.append(cpu_probe(spark))
+    shuffle_probe_samples.append(shuffle_probe(spark))
     out["probe_sec"] = min(probe_samples)
     out["probe_samples"] = probe_samples
     out["shuffle_probe_sec"] = min(shuffle_probe_samples)

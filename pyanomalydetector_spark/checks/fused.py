@@ -125,6 +125,35 @@ def _ctag(name: str) -> str:
     return f"{skel}_{hashlib.md5(s.encode('utf-8')).hexdigest()[:8]}"
 
 
+def _tag_map(names) -> dict[str, str]:
+    """Injective name→tag map for ONE fused-suite build. :func:`_ctag`
+    alone is not airtight: a column literally named ``<skel>_<md5prefix>``
+    OF ANOTHER hostile column name reproduces that name's tag verbatim
+    (never accidental, but deterministic and constructible — the two
+    checks would then silently share one set of moment aggregates).
+    Resolve per suite: first appearance keeps _ctag's tag (so every
+    common-case alias is unchanged), a clash extends the latecomer's md5
+    suffix until the tags separate."""
+    out: dict[str, str] = {}
+    taken: set[str] = set()
+    for name in names:
+        s = str(name)
+        if s in out:
+            continue
+        skel = re.sub(r"\W", "", s, flags=re.ASCII)
+        full = hashlib.md5(s.encode("utf-8")).hexdigest()
+        t, k = _ctag(s), 8
+        while t in taken:
+            k += 8
+            if k > 32:   # full md5 collision between two live column names
+                raise ValueError(f"fused: cannot derive a unique internal "
+                                 f"tag for column {s!r}")
+            t = f"{skel}_{full[:k]}"
+        taken.add(t)
+        out[s] = t
+    return out
+
+
 def _lit(v) -> str:
     """SQL literal for a referential allowed-set member."""
     if isinstance(v, bool):
@@ -187,6 +216,11 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
     lists of *lazy* DataFrames in the order of ``checks`` plus the persisted
     intermediates (for the caller to unpersist once materialized) — no job
     runs here."""
+    # ---- per-suite injective tags for every value_col (see _tag_map) ----
+    ctag = _tag_map(
+        c.params.get("value_col", "n_tok") for c in checks
+        if c.kind in ("column_stats", "zscore_threshold", "drift_psi"))
+
     # ---- PSI bucket bounds: pinned → python lits; else a lazy 1-row agg ----
     psi_checks = [c for c in checks if c.kind == "drift_psi"]
     pinned_bounds: dict[str, tuple[float, float]] = {}
@@ -203,8 +237,8 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
     if scan_vcs:
         exprs = []
         for vc in scan_vcs:
-            exprs += [F.expr(f"MIN({_dcast(vc)}) AS _lo_{_ctag(vc)}"),
-                      F.expr(f"MAX({_dcast(vc)}) AS _hi_{_ctag(vc)}")]
+            exprs += [F.expr(f"MIN({_dcast(vc)}) AS _lo_{ctag[vc]}"),
+                      F.expr(f"MAX({_dcast(vc)}) AS _hi_{ctag[vc]}")]
         part_src = df.crossJoin(F.broadcast(df.agg(*exprs)))
 
     # ---- pass 1 plan: the single fused per-partition aggregate -------------
@@ -214,7 +248,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
         tag, p = f"c{i}", c.params
         if c.kind in ("column_stats", "zscore_threshold"):
             vc = p.get("value_col", "n_tok")
-            mtag = f"m_{_ctag(vc)}"
+            mtag = f"m_{ctag[vc]}"
             if mtag not in moment_tags:
                 moment_tags.add(mtag)
                 aggs += _moment_aggs(vc, mtag)
@@ -239,7 +273,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
                     raw = f"FLOOR(({v} - {_d(lo)}) / {_d((hi - lo) / nb)})"
                     bucket = f"LEAST(GREATEST({raw}, 0), {nb - 1})"
             else:
-                lo, hi = f"_lo_{_ctag(vc)}", f"_hi_{_ctag(vc)}"
+                lo, hi = f"_lo_{ctag[vc]}", f"_hi_{ctag[vc]}"
                 raw = f"FLOOR(({v} - {lo}) / (({hi} - {lo}) / {nb}))"
                 bucket = (f"CASE WHEN ({hi} = {lo}) THEN 0 ELSE "
                           f"LEAST(GREATEST({raw}, 0), {nb - 1}) END")
@@ -304,7 +338,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
         if c.kind == "column_stats":
             vc = p.get("value_col", "n_tok")
             min_count = int(p.get("min_count", 1))
-            cnt = f"m_{_ctag(vc)}_cnt"
+            cnt = f"m_{ctag[vc]}_cnt"
             # cnt==0 (an all-NULL-value partition) emits NO verdict row,
             # matching the per-check path (finalize_mean_std drops cnt==0)
             verdicts.append(verdict_select(
@@ -316,7 +350,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
             vc = p.get("value_col", "n_tok")
             lam = float(p.get("lambda", 2.0))
             rate = float(p.get("ignore_diff_rate", 0.0))
-            mtag = f"m_{_ctag(vc)}"
+            mtag = f"m_{ctag[vc]}"
             scalars = p.get("baseline_scalars")
             if scalars is not None:          # pinned baseline (resume path)
                 mean_t, std_t = _d(scalars["mean"]), _d(scalars["std"])

@@ -605,11 +605,18 @@ def compact_minhash_store(spark, path: str, delete_ids) -> dict:
     anti-join scan each — no shingle payload is ever collected), staged
     next to the live directories, then swapped in. Asset order mirrors
     :func:`append_to_minhash_store`'s crash-safety argument, inverted for
-    deletes: SIGNATURES are swapped first, so a crash between the two
-    swaps leaves retired ids with shingles but no signatures — harmless
-    (they can never band into a candidate) — whereas the opposite order
-    could leave a signature whose verify-side shingles are gone, silently
-    zeroing every Jaccard that touches it.
+    deletes: SHINGLES are swapped first, so a crash between the two swaps
+    leaves retired ids with a signature but no shingles — every interim
+    behavior is then either already the post-compact one or fails LOUD:
+    pairs touching a retired id drop out of verification (they are being
+    deleted — that is the goal state), and a re-ingest of a retired id is
+    still rejected by :func:`_check_store_ids_disjoint` (which scans
+    signatures) until the compaction is re-run, which is idempotent. The
+    opposite order (signatures first) would open a SILENT corruption
+    window: with the signature gone the disjointness guard passes, a
+    revised re-ingest appends fresh shingles NEXT TO the stale ones, and
+    ``_verify_pairs``'s collect_set then merges two document versions
+    into one shingle set — wrong Jaccard values with no error.
 
     ``delete_ids``: a DataFrame with a ``doc_id`` column, or a Python
     iterable of ids (kept driver-side only long enough to build a frame).
@@ -635,8 +642,9 @@ def compact_minhash_store(spark, path: str, delete_ids) -> dict:
     kept_sh.write.mode("overwrite").parquet(f"{path}/shingles.staged")
 
     n_before = sig.select("doc_id").distinct().count()
-    _swap_asset_dir(spark, f"{path}/signatures", f"{path}/signatures.staged")
+    # shingles FIRST (see crash-safety argument in the docstring)
     _swap_asset_dir(spark, f"{path}/shingles", f"{path}/shingles.staged")
+    _swap_asset_dir(spark, f"{path}/signatures", f"{path}/signatures.staged")
     n_after = spark.read.parquet(f"{path}/signatures") \
                    .select("doc_id").distinct().count()
     return {"retired": n_before - n_after, "remaining": n_after}

@@ -162,3 +162,53 @@ def test_compact_store_retires_deleted_docs(spark, docs, tmp_path_factory):
     # a python-list id spec works too, and deleting absent ids is a no-op
     stats2 = compact_minhash_store(spark, path, ["no_such_doc_id"])
     assert stats2["retired"] == 0 and stats2["remaining"] == stats["remaining"]
+
+
+def test_compact_crash_window_fails_loud_not_silent(spark, docs,
+                                                    tmp_path_factory):
+    """Crash between compaction's two asset swaps. The swap order is
+    SHINGLES FIRST so the interim state (retired ids keep a signature but
+    have no shingles) is post-compact-or-loud everywhere:
+    (a) store-resident pairs already equal the post-compact output (the
+        retired ids still band via their signatures, but verification has
+        no shingles for them, so their pairs drop — the goal state);
+    (b) re-ingesting a retired id still trips the id-disjointness guard
+        (it scans SIGNATURES, where the id survives) — the reverse order
+        would let the guard pass and collect_set would merge the stale
+        shingles with the re-ingested version's: silently wrong Jaccard;
+    (c) re-running the same compaction (the documented recovery) heals the
+        store and frees the ids."""
+    from pyanomalydetector_spark.operators.dedup import (
+        compact_minhash_store, minhash_pairs_in_store, _swap_asset_dir)
+
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    path = str(tmp_path_factory.mktemp("mhcrash") / "store")
+    build_minhash_store(docs, path)
+    doomed = docs.filter(part == 2).select("doc_id")
+    survivors = docs.filter(part != 2)
+    assert 0 < doomed.count() < docs.count()
+
+    # replicate compact_minhash_store up to (and including) the FIRST swap
+    # only — the exact on-disk state a crash between the swaps leaves
+    kept_sh = (spark.read.parquet(f"{path}/shingles")
+                    .join(doomed, "doc_id", "left_anti"))
+    kept_sh.write.mode("overwrite").parquet(f"{path}/shingles.staged")
+    _swap_asset_dir(spark, f"{path}/shingles", f"{path}/shingles.staged")
+
+    # (a) interim pairs == one-shot over the survivors
+    reg = []
+    got = _keyed(minhash_pairs_in_store(spark, path,
+                                        cache_registry=reg).collect())
+    for f in reg:
+        f.unpersist()
+    assert got == _keyed(minhash_dedup_pairs(survivors).collect()) and got
+
+    # (b) re-ingest of a retired id fails LOUD, not silently corrupting
+    reborn = docs.filter(part == 2).limit(3)
+    with pytest.raises(ValueError, match="re-ingests doc_ids"):
+        append_to_minhash_store(reborn, path)
+
+    # (c) recovery: re-run the compaction; ids are free again
+    stats = compact_minhash_store(spark, path, doomed)
+    assert stats["remaining"] == survivors.count()
+    append_to_minhash_store(reborn, path)   # guard passes now

@@ -140,6 +140,35 @@ def test_fused_hostile_value_col_names(seq):
     fused.unpersist(); plain.unpersist()
 
 
+def test_fused_constructed_tag_collision(seq):
+    """The deterministic _ctag collision: a pure-word-char column literally
+    named '<skel>_<md5prefix>' OF another hostile column produces _ctag's
+    exact output for that column. Pre-_tag_map, both checks silently shared
+    ONE set of moment aggregates (the second read the first's mean/std —
+    wrong verdicts, no error). The per-suite injective map must keep them
+    apart; fused ≡ per-check stays the oracle."""
+    import hashlib
+    evil = "v1_" + hashlib.md5(b"v 1").hexdigest()[:8]   # == _ctag("v 1")
+    df = (seq.withColumn("v 1", F.expr("n_tok + 1"))
+             .withColumn(evil, F.expr("CAST(n_tok * 100 AS DOUBLE)")))
+    suite = [
+        Check("s-sp", "column_stats", {"value_col": "v 1"}),
+        Check("s-ev", "column_stats", {"value_col": evil}),
+        Check("z-sp", "zscore_threshold",
+              {"value_col": "v 1", "lambda": 0.5, "ignore_diff_rate": 0.0}),
+        Check("z-ev", "zscore_threshold",
+              {"value_col": evil, "lambda": 0.5, "ignore_diff_rate": 0.0}),
+    ]
+    fused = run_checks(df, suite, fuse=True)
+    plain = run_checks(df, suite, fuse=False)
+    assert _norm_verdicts(fused.verdicts) == _norm_verdicts(plain.verdicts)
+    assert _norm_violations(fused.violations) == _norm_violations(plain.violations)
+    obs = {r["check_id"]: r["observed"] for r in fused.verdicts.collect()
+           if r["check_id"].startswith("z-")}
+    assert obs["z-sp"] != obs["z-ev"]   # distinct columns, distinct stats
+    fused.unpersist(); plain.unpersist()
+
+
 def test_fused_backtick_column_name(spark):
     """A column literally named with a backtick must resolve to ITSELF:
     _bt escapes by doubling (VERDICT r04 nit — stripping rewrote a`b → ab,

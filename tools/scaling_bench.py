@@ -104,48 +104,34 @@ def main() -> None:
 
     import subprocess
 
-    def cpu_probe(cores: int) -> float:
-        """Hardware-ceiling calibration: a pure whole-stage-codegen job
-        (xxhash sum over range) with near-zero memory traffic. Any shortfall
-        from ideal here is the host's (VM core oversubscription), not the
-        engine's."""
+    def _probe(kind: str, cores: int) -> float:
+        """Host-calibration kernels in a clean child JVM per reading. The
+        kernels themselves live in pyanomalydetector_spark/probes.py — the
+        SINGLE shared definition bench.py and scaling_pairs.sh also run, so
+        probe readings are comparable across tools by construction.
+        ``cpu``: pure whole-stage-codegen ALU ceiling (any shortfall from
+        ideal here is the host's, not the engine's). ``shuffle``:
+        unique-key 30M-row groupBy — the memory/shuffle-bandwidth dimension
+        this VM's stall windows actually hit while the ALU stays nominal
+        (measured round 5); its cross-rung ratio also bounds any
+        shuffle-bound workload's achievable scaling on this VM."""
         code = (
-            "import sys,time;sys.path.insert(0,%r);"
+            "import sys;sys.path.insert(0,%r);"
             "from pyanomalydetector_spark.session import get_spark;"
-            "from pyspark.sql import functions as F;"
+            "from pyanomalydetector_spark import probes;"
             "s=get_spark('probe',master='local[%d]');s.range(1000).count();"
-            "t=time.perf_counter();"
-            "s.range(0,2_000_000_000,1,128).select(F.xxhash64('id').alias('h'))"
-            ".select(F.sum(F.pmod('h',F.lit(997)))).collect();"
-            "print('PROBE',time.perf_counter()-t);s.stop()" % (_REPO, cores))
+            "print('PROBE',probes.%s_probe(s));s.stop()"
+            % (_REPO, cores, kind))
         p = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True, check=True)
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("PROBE")][-1]
         return float(line.split()[1])
 
+    def cpu_probe(cores: int) -> float:
+        return _probe("cpu", cores)
+
     def shuffle_probe(cores: int) -> float:
-        """Shuffle/memory-bandwidth ceiling (same kernel as bench.py's
-        shuffle_probe_sec): 30M rows with unique keys, so map-side combine
-        can't shrink the exchange. The CPU probe misses this host's stall
-        windows (they hit the shuffle/memory path while the ALU stays
-        nominal — measured round 5); the ratio of this probe across rungs
-        also bounds any shuffle-bound workload's achievable scaling on this
-        VM, which the pure-ALU kernel overstates."""
-        code = (
-            "import sys,time;sys.path.insert(0,%r);"
-            "from pyanomalydetector_spark.session import get_spark;"
-            "from pyspark.sql import functions as F;"
-            "s=get_spark('sprobe',master='local[%d]');s.range(1000).count();"
-            "t=time.perf_counter();"
-            "s.range(0,30_000_000,1,64)"
-            ".select(F.xxhash64('id').alias('k'),F.col('id').alias('v'))"
-            ".groupBy('k').agg(F.sum('v').alias('s'))"
-            ".select(F.sum('s')).collect();"
-            "print('PROBE',time.perf_counter()-t);s.stop()" % (_REPO, cores))
-        p = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True, check=True)
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("PROBE")][-1]
-        return float(line.split()[1])
+        return _probe("shuffle", cores)
 
     ladder = (1, 4, 8, 32)
     samples = int(os.environ.get("SCALING_SAMPLES", "2"))

@@ -19,24 +19,18 @@ LOG=${1:-/tmp/r05_ladder.log}
 probe() {
   # both calibration kernels, one JVM: pure-ALU (host CPU ceiling) and
   # unique-key shuffle (memory/shuffle-bandwidth ceiling — the dimension
-  # this VM's stall windows actually hit; see BASELINE.md round 5)
+  # this VM's stall windows actually hit; see BASELINE.md round 5).
+  # Kernels are the SHARED definitions in pyanomalydetector_spark/probes.py
+  # (same ones bench.py and scaling_bench.py run) — never inline a copy.
   python - "$1" <<'PY' 2>/dev/null
-import sys, time
+import sys
 sys.path.insert(0, ".")
 from pyanomalydetector_spark.session import get_spark
-from pyspark.sql import functions as F
+from pyanomalydetector_spark.probes import cpu_probe, shuffle_probe
 cores = int(sys.argv[1])
 s = get_spark("probe", master=f"local[{cores}]"); s.range(1000).count()
-t = time.perf_counter()
-s.range(0, 2_000_000_000, 1, 128).select(F.xxhash64("id").alias("h")) \
- .select(F.sum(F.pmod("h", F.lit(997)))).collect()
-print(f"PROBE cores={cores} sec={time.perf_counter()-t:.2f}")
-t = time.perf_counter()
-s.range(0, 30_000_000, 1, 64) \
- .select(F.xxhash64("id").alias("k"), F.col("id").alias("v")) \
- .groupBy("k").agg(F.sum("v").alias("s")) \
- .select(F.sum("s")).collect()
-print(f"SPROBE cores={cores} sec={time.perf_counter()-t:.2f}")
+print(f"PROBE cores={cores} sec={cpu_probe(s):.2f}")
+print(f"SPROBE cores={cores} sec={shuffle_probe(s):.2f}")
 s.stop()
 PY
 }

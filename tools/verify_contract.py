@@ -126,10 +126,9 @@ def main() -> int:
         ok_kinds = not kind_bad
         status = "OK" if (ok_cols and ok_vals and ok_kinds) else "MISMATCH"
         print(f"{name:36s} rows={len(srows):6d}/{len(orows):6d} cols={'OK' if ok_cols else f'{scols} vs {ocols}'} values={'OK' if ok_vals else 'DIFF'} kinds={'OK' if ok_kinds else kind_bad}  -> {status}")
-        if not ok_kinds:
+        if not (ok_cols and ok_vals and ok_kinds):
             failures.append(name)
         if not (ok_cols and ok_vals):
-            failures.append(name)
             for i, (a, b) in enumerate(zip(s_canon, o_canon)):
                 if a != b:
                     print(f"   first diff @{i}:\n    spark : {a}\n    oracle: {b}")
