@@ -1336,7 +1336,7 @@ def _suite_verdicts_sql(seq: str) -> str:
                ROUND(CAST(nb AS DOUBLE), 6) AS observed,
                CAST(nb AS BIGINT) AS n_violations
         FROM (SELECT source,
-                     SUM(CASE WHEN n_tok <> len(tokens) THEN 1 ELSE 0 END) AS nb
+                     SUM(CASE WHEN n_tok IS DISTINCT FROM len(tokens) THEN 1 ELSE 0 END) AS nb
               FROM {seq} GROUP BY source)
     ),
     pb AS (SELECT CAST(MIN(n_tok) AS DOUBLE) AS lo,
@@ -2222,7 +2222,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tok AS BIGINT) AS declared_n_tok,
                    CAST(len(tokens) AS BIGINT) AS actual_n_tok
             FROM {_SEQ}
-            WHERE n_tok <> len(tokens)
+            WHERE n_tok IS DISTINCT FROM len(tokens)
         """,
         "seq_zscore_verdict": f"""
             WITH base AS (

@@ -274,10 +274,13 @@ def _unique_per_part(df: DataFrame, key: str, pcol: str,
     scan, exact by construction, and the salt knob still applies.
     """
     if salt_buckets > 0:
+        # the salt only needs to spread a hot key's rows across buckets;
+        # monotonically_increasing_id alone is already per-row unique
+        # (hashing a data column in would also crash key-generic callers
+        # on frames without that column)
         salted = df.select(
             F.col(pcol).alias("partition_id"), F.col(key),
-            F.pmod(F.xxhash64(F.col(key), F.col("n_tok"),
-                              F.monotonically_increasing_id()),
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()),
                    F.lit(salt_buckets)).alias("_salt"),
         )
         partial = salted.groupBy("partition_id", key, "_salt") \
@@ -528,8 +531,14 @@ def _check_referential(df: DataFrame, check: Check, pcol: str) -> CheckResult:
 
 
 def _check_n_tok_consistency(df: DataFrame, check: Check, pcol: str) -> CheckResult:
-    """Metadata invariant: declared n_tok equals size(tokens)."""
-    bad = F.col("n_tok") != F.size("tokens")
+    """Metadata invariant: declared n_tok equals size(tokens).
+
+    NULL-SAFE: plain ``!=`` evaluates to NULL when either side is NULL
+    (``size(NULL)`` is NULL in non-legacy Spark), so a row with NULL
+    metadata but non-NULL tokens — or vice versa — would silently PASS
+    the invariant. ``<=>`` makes the contradiction count; NULL on BOTH
+    sides (no declared count, no tokens) is consistent and passes."""
+    bad = ~F.col("n_tok").eqNullSafe(F.size("tokens"))
     per_part = df.groupBy(F.col(pcol).alias("partition_id")).agg(
         F.count(F.lit(1)).alias("rows_scanned"),
         F.sum(F.when(bad, 1).otherwise(0)).alias("n_bad"),

@@ -253,7 +253,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
                 moment_tags.add(mtag)
                 aggs += _moment_aggs(vc, mtag)
         elif c.kind == "n_tok_consistency":
-            aggs.append("SUM(CASE WHEN (n_tok != SIZE(tokens)) THEN 1 "
+            aggs.append("SUM(CASE WHEN (NOT (n_tok <=> SIZE(tokens))) THEN 1 "
                         f"ELSE 0 END) AS {tag}_bad")
         elif c.kind == "referential":
             col, allowed = p.get("column", "source"), sorted(p["allowed"])
@@ -390,7 +390,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
                 observed=bad_n, expected=_d(0.0), threshold=_d(0.0),
                 n_violations=bad_n, rows_scanned="_rows"))
             viol_entries.append((
-                c.check_id, "(n_tok != SIZE(tokens))",
+                c.check_id, "(NOT (n_tok <=> SIZE(tokens)))",
                 "CAST(n_tok AS STRING)", "CAST(SIZE(tokens) AS STRING)"))
         elif c.kind == "referential":
             col, allowed = p.get("column", "source"), sorted(p["allowed"])

@@ -117,8 +117,20 @@ def _infer_dim(emb: DataFrame, vec_col: str, sample: int = 1024) -> int | None:
     return int(row["n"]) if row else None
 
 
+def _scrub_vec_pdf(pdf, col: str, dim: int):
+    """Drop null/ragged embedding rows from an Arrow batch — THE shared
+    scrub for every pandas kernel in this module (LSH buckets, k-means
+    partials, cell assign; ``unit_rows`` applies the same predicate to its
+    row-list form plus a finiteness pass). One definition keeps the
+    brute≡LSH and indexed≡trained parity invariants from diverging on drop
+    semantics: a null vector would TypeError in np.array, a wrong-length
+    one breaks the matmul — both are rows the brute path null-safely drops
+    via try_divide."""
+    return pdf[pdf[col].map(lambda v: v is not None and len(v) == dim)]
+
+
 def cosine_pairs_above_lsh(emb: DataFrame, threshold: float = 0.9,
-                           n_bits: int = 32, bands: int = 8,
+                           n_bits: int = 980, bands: int = 70,
                            vec_col: str = "embedding",
                            id_col: str = "vec_id",
                            cache_registry: list | None = None,
@@ -131,13 +143,25 @@ def cosine_pairs_above_lsh(emb: DataFrame, threshold: float = 0.9,
     seed-pinned — resume-safe), banded into ``bands`` bucket keys; docs
     colliding in ≥1 band become candidates, exact-verified with true cosine
     so precision is 1.0 and the output contract equals
-    :func:`cosine_pairs_above`. P[bit agrees] = 1 − θ/π, so a pair at
-    cosine ≥ 0.9 with r=4-bit bands misses with prob (1−0.856⁴)⁸ ≈ 2·10⁻³,
-    vanishing as cosine → 1 (the near-dup regime this targets).
+    :func:`cosine_pairs_above`. P[bit agrees] = 1 − θ/π.
+
+    Default width 980 bits × 70 bands (14-bit bands) is the measured
+    sub-quadratic shape: a random background pair collides per band with
+    prob ~2⁻¹⁴, so ~70/2¹⁴ ≈ 0.4 % of all pairs reach the exact verify,
+    while a pair at cosine ≥ 0.9 still misses with prob (1−0.856¹⁴)⁷⁰ ≈
+    1.5·10⁻⁵, vanishing as cosine → 1 (the near-dup regime this targets).
+    Band width decides sub-quadratic-ness — the old 4-bit-band default made
+    ~40 % of ALL pairs candidates (quadratic in disguise); size bands so
+    background collisions vanish FIRST, then add bands for recall.
     """
     import numpy as np
     import pandas as pd
 
+    if bands <= 0 or n_bits % bands:
+        raise ValueError(
+            f"cosine_pairs_above_lsh: n_bits ({n_bits}) must be a positive "
+            f"multiple of bands ({bands}) — trailing bits would be "
+            f"silently dropped, widening every band's collision rate")
     rows_per_band = n_bits // bands
     dim = _infer_dim(emb, vec_col)
     if dim is None:        # empty/all-null input → empty result, like brute
@@ -150,13 +174,7 @@ def cosine_pairs_above_lsh(emb: DataFrame, threshold: float = 0.9,
     def buckets(batches):
         Hm = bc.value
         for pdf in batches:
-            # scrub null/ragged embeddings (mirrors the blocked-BLAS
-            # unit_rows scrub): a null vector would TypeError in np.array,
-            # a wrong-length one would break the matmul — both are rows the
-            # brute path null-safely drops via try_divide.
-            ok = pdf[vec_col].map(
-                lambda v: v is not None and len(v) == dim)
-            pdf = pdf[ok]
+            pdf = _scrub_vec_pdf(pdf, vec_col, dim)
             if pdf.empty:
                 continue
             M = np.array(pdf[vec_col].map(list).tolist(), dtype=np.float64)
@@ -259,8 +277,7 @@ def train_ivf_codebook(emb: DataFrame, n_cells: int = 16, n_iters: int = 5,
             C = bc.value
             d = C.shape[1]
             for pdf in batches:
-                ok = pdf["v"].map(lambda v: v is not None and len(v) == d)
-                pdf = pdf[ok]
+                pdf = _scrub_vec_pdf(pdf, "v", d)
                 if pdf.empty:
                     continue
                 M = np.array(pdf["v"].tolist(), dtype=np.float64)
@@ -311,8 +328,7 @@ def assign_cells(emb: DataFrame, cents, vec_col: str = "embedding",
         for pdf in batches:
             # null/ragged embeddings cannot be assigned a cell — drop them
             # (the exact search over cells would never score them either)
-            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == d)
-            pdf = pdf[ok]
+            pdf = _scrub_vec_pdf(pdf, vec_col, d)
             if pdf.empty:
                 continue
             M = np.array(pdf[vec_col].map(list).tolist(), dtype=np.float64)

@@ -50,7 +50,27 @@ CKPT_SCHEMA = ("partition_id string, suite_hash string, snapshot_id string, "
 
 
 def suite_hash(checks: list[Check]) -> str:
-    """Stable digest of the suite definition (scalar params only)."""
+    """Stable digest of the suite definition, INCLUDING the identity of
+    DataFrame-valued params (a trusted snapshot for ``token_invariant``, an
+    ``allowed`` dimension frame, a user baseline). Collapsing those to the
+    bare type name would let a replaced snapshot keep the old hash, so
+    ``done_partitions`` would serve stale verdicts instead of re-checking —
+    violating the module's gap-reset contract. File-backed frames hash
+    their sorted file listing (a parquet rewrite always lands new
+    uniquely-named part files); in-memory frames hash their content (they
+    are small, driver-created config frames)."""
+    def df_identity(v: DataFrame):
+        files = sorted(v.inputFiles())
+        if files:
+            return {"df_files": files}
+        row = v.select(
+            # decimal sum: ANSI mode would throw on BIGINT sum overflow
+            F.sum(F.xxhash64(*[F.col(c) for c in sorted(v.columns)])
+                   .cast("decimal(38,0)")).alias("h"),
+            F.count(F.lit(1)).alias("n")).collect()[0]
+        return {"df_hash": str(row["h"]), "df_rows": int(row["n"]),
+                "df_cols": sorted(v.columns)}
+
     def scalarize(v):
         if isinstance(v, (str, int, float, bool)) or v is None:
             return v
@@ -58,6 +78,8 @@ def suite_hash(checks: list[Check]) -> str:
             return [scalarize(x) for x in v]
         if isinstance(v, dict):
             return {k: scalarize(x) for k, x in sorted(v.items())}
+        if isinstance(v, DataFrame):
+            return df_identity(v)
         return f"<{type(v).__name__}>"
     payload = [(c.check_id, c.kind,
                 {k: scalarize(v) for k, v in sorted(c.params.items())})
@@ -69,7 +91,10 @@ def snapshot_id_for_dir(path: str) -> str:
     """Input identity from file listing (name, size, mtime) — the sandbox
     stand-in for an Iceberg snapshot id."""
     entries = []
-    for root, _, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs.sort()   # os.walk's subdir order is readdir-dependent; an
+        # unsorted walk gives the SAME content a different id on another
+        # filesystem → a spurious full gap-reset of an unchanged input
         for f in sorted(files):
             st = os.stat(os.path.join(root, f))
             entries.append((os.path.relpath(os.path.join(root, f), path),
@@ -189,12 +214,21 @@ class CheckpointStore:
     # ----------------------------------------------------------- baseline ---
     def save_baseline(self, shash: str, snap: str, bl: PinnedBaseline,
                       ks_counts: dict[str, DataFrame]) -> None:
-        with open(self.baseline_json, "w") as f:
+        """KS parquet FIRST, the json commit marker LAST and atomically
+        (tmp + os.replace): load_baseline treats the json as the commit
+        record, so writing it before the parquet would make a crash in
+        between unrecoverable — every later run would load the baseline,
+        then raise on the missing ks_counts path until someone hand-deleted
+        the json. A crash before the json simply recomputes; a torn json
+        can never be observed through the rename."""
+        for vc, df in ks_counts.items():
+            df.write.mode("overwrite").parquet(os.path.join(self.ks_dir, vc))
+        tmp = self.baseline_json + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"suite_hash": shash, "snapshot_id": snap,
                        "moments": bl.moments, "psi": bl.psi,
                        "ks_value_cols": bl.ks_value_cols}, f)
-        for vc, df in ks_counts.items():
-            df.write.mode("overwrite").parquet(os.path.join(self.ks_dir, vc))
+        os.replace(tmp, self.baseline_json)
 
     def load_baseline(self, shash: str, snap: str) -> PinnedBaseline | None:
         if not os.path.exists(self.baseline_json):
@@ -233,21 +267,37 @@ class CheckpointStore:
 
 def compute_baseline(df: DataFrame, checks: list[Check]) -> tuple[PinnedBaseline, dict]:
     """Capture every global baseline the suite's checks need (one pass each,
-    all tiny outputs)."""
+    all tiny outputs).
+
+    Checks carrying an explicit user ``baseline`` DataFrame are SKIPPED:
+    the user's reference is already a run-stable external constant, and
+    pinning an input-derived baseline over it would silently turn drift-
+    vs-reference into self-comparison (PSI ≈ 0, drift never flagged) and
+    z-scores against the wrong mean/std. Degenerate inputs (empty, or an
+    all-NULL value column) are also skipped rather than crashed on — the
+    unpinned check then degrades exactly like the plain ``run_checks``
+    path (no verdict rows), preserving one-shot ≡ resumed parity."""
     bl = PinnedBaseline()
     ks_counts: dict[str, DataFrame] = {}
     for c in checks:
         vc = c.params.get("value_col", "n_tok")
+        if c.params.get("baseline") is not None:
+            continue
         if c.kind == "zscore_threshold" and vc not in bl.moments:
-            row = finalize_mean_std(sufficient_stats(
+            rows = finalize_mean_std(sufficient_stats(
                 df.select(F.lit("all").alias("_g"), vc), ["_g"], vc)) \
-                .select("mean", "std").collect()[0]
+                .select("mean", "std").collect()
+            if not rows:   # empty input / all-NULL column: cnt==0 filtered
+                continue
+            row = rows[0]
             bl.moments[vc] = {"mean": float(row["mean"]), "std": float(row["std"])}
         elif c.kind == "drift_psi" and vc not in bl.psi:
             nb = int(c.params.get("buckets", 10))
             v = F.col(vc).cast("double")
             b = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi"),
                        F.count(F.lit(1)).alias("n")).collect()[0]
+            if b["lo"] is None:   # empty input / all-NULL column
+                continue
             lo, hi = float(b["lo"]), float(b["hi"])
             if hi == lo:
                 bucket = F.lit(0)
@@ -269,11 +319,17 @@ def compute_baseline(df: DataFrame, checks: list[Check]) -> tuple[PinnedBaseline
 
 def pin_suite(checks: list[Check], bl: PinnedBaseline,
               store: CheckpointStore) -> list[Check]:
-    """Rewrite baseline-dependent checks to use the pinned baseline."""
+    """Rewrite baseline-dependent checks to use the pinned baseline. A
+    check with an explicit user ``baseline`` keeps it (see
+    :func:`compute_baseline`) — the guard is per CHECK, not per value_col,
+    so a user-baselined check and an input-baselined one may share a
+    value_col without the pin leaking onto the former."""
     pinned = []
     for c in checks:
         vc = c.params.get("value_col", "n_tok")
-        if c.kind == "zscore_threshold" and vc in bl.moments:
+        if c.params.get("baseline") is not None:
+            pinned.append(c)
+        elif c.kind == "zscore_threshold" and vc in bl.moments:
             pinned.append(Check(c.check_id, c.kind,
                                 {**c.params, "baseline_scalars": bl.moments[vc]}))
         elif c.kind == "drift_psi" and vc in bl.psi:

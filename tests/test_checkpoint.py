@@ -177,3 +177,71 @@ def test_checkpoint_resume_with_null_partition(spark, tmp_path):
     assert norm(res.verdicts) == norm(oneshot.verdicts)
     assert {r["partition_id"] for r in res.verdicts.collect()} == \
         {"s1", "s2", None}
+
+
+def test_user_baseline_not_overridden_by_pinning(spark, seq, tmp_path):
+    """A check carrying an explicit user `baseline` DataFrame must run
+    against THAT reference, not an input-derived pin (pre-fix, pin_suite
+    silently replaced the user's golden baseline with the input's own
+    moments/histogram — drift-vs-reference degenerated to self-comparison
+    and was never flagged)."""
+    golden = spark.createDataFrame([(0.0, 0.5)], "mean double, std double")
+    checks = [Check("z-user", "zscore_threshold",
+                    {"value_col": "n_tok", "lambda": 2.0, "baseline": golden,
+                     "ignore_diff_rate": 0.0}),
+              Check("z-auto", "zscore_threshold",
+                    {"value_col": "n_tok", "lambda": 2.0,
+                     "ignore_diff_rate": 0.0})]
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    res = run_with_checkpoint(seq, checks, store)
+    plain = run_checks(seq, checks)
+    assert _norm_verdicts(res.verdicts) == _norm_verdicts(plain.verdicts)
+    # and the user-baselined verdicts really used mean=0: expected == 0.0
+    exp = {r["check_id"]: r["expected"] for r in res.verdicts.collect()}
+    assert exp["z-user"] == 0.0 and exp["z-auto"] != 0.0
+
+
+def test_suite_hash_sees_dataframe_param_content(spark, tmp_path):
+    """A DataFrame-valued param (trusted snapshot, allowed dim, user
+    baseline) is part of the suite's identity: replacing its CONTENT must
+    change the hash, or done_partitions would serve stale verdicts for the
+    old snapshot (violating the gap-reset contract)."""
+    snap1 = spark.createDataFrame([("d1", [1, 2])], "doc_id string, tokens array<int>")
+    snap2 = spark.createDataFrame([("d1", [1, 3])], "doc_id string, tokens array<int>")
+    h1 = suite_hash([Check("ti", "token_invariant", {"expected": snap1})])
+    h2 = suite_hash([Check("ti", "token_invariant", {"expected": snap2})])
+    assert h1 != h2
+    # identical content → identical hash (determinism across builds)
+    snap1b = spark.createDataFrame([("d1", [1, 2])], "doc_id string, tokens array<int>")
+    assert suite_hash([Check("ti", "token_invariant", {"expected": snap1b})]) == h1
+    # file-backed frames: a rewrite (new part files) changes the identity
+    p = str(tmp_path / "snap.parquet")
+    snap1.write.parquet(p)
+    f1 = suite_hash([Check("ti", "token_invariant",
+                           {"expected": spark.read.parquet(p)})])
+    snap2.write.mode("overwrite").parquet(p)
+    f2 = suite_hash([Check("ti", "token_invariant",
+                           {"expected": spark.read.parquet(p)})])
+    assert f1 != f2
+
+
+def test_compute_baseline_degrades_gracefully_on_degenerate_input(spark, tmp_path):
+    """Empty input / all-NULL value column: the checkpoint wrapper must
+    match run_checks' graceful behavior (no verdicts), not crash while
+    pinning (pre-fix: IndexError on the empty moments collect, TypeError
+    on float(None) PSI bounds)."""
+    empty = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string")
+    checks = [Check("z", "zscore_threshold", {"value_col": "n_tok"}),
+              Check("psi", "drift_psi", {"value_col": "n_tok"})]
+    store = CheckpointStore(spark, str(tmp_path / "ck_empty"))
+    res = run_with_checkpoint(empty, checks, store)
+    assert res.verdicts.count() == 0 and res.violations.count() == 0
+
+    allnull = spark.createDataFrame(
+        [("d1", [1], None, "s1"), ("d2", [2], None, "s1")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    store2 = CheckpointStore(spark, str(tmp_path / "ck_null"))
+    res2 = run_with_checkpoint(allnull, checks, store2)
+    plain = run_checks(allnull, checks)
+    assert _norm_verdicts(res2.verdicts) == _norm_verdicts(plain.verdicts)

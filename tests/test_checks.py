@@ -526,3 +526,50 @@ def test_unique_digest_prefilter_equals_direct(spark, seq):
         run_checks(df, [Check("u", "unique",
                               {"key": "doc_id", "digest_prefilter": True,
                                "salt_buckets": 4})])
+
+
+def test_ntok_consistency_null_metadata_is_a_violation(spark):
+    """NULL-safety of the metadata invariant: a row where one side is NULL
+    and the other isn't CONTRADICTS n_tok == size(tokens) and must count
+    (pre-fix, `!=` evaluated to NULL and the row silently PASSED). NULL on
+    both sides is consistent. Pinned on both execution paths — the fused
+    twin shares the predicate."""
+    df = spark.createDataFrame(
+        [("a", [1, 2], 2, "s1"),       # consistent
+         ("b", [1, 2], None, "s1"),    # NULL declared count → violation
+         ("c", None, 5, "s1"),         # NULL tokens, declared 5 → violation
+         ("d", None, None, "s1"),      # both absent → consistent
+         ("e", [1], 9, "s2")],         # plain mismatch → violation
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    for fuse in (False, True):
+        checks = [Check("ntok", "n_tok_consistency", {})]
+        if fuse:   # fusion needs a second fusible check to engage
+            checks.append(Check("stats", "column_stats", {"value_col": "n_tok"}))
+        res = run_checks(df, checks, fuse=fuse)
+        viols = {r["doc_id"] for r in res.violations.collect()
+                 if r["check_id"] == "ntok"}
+        assert viols == {"b", "c", "e"}, f"fuse={fuse}: {viols}"
+        verd = {r["partition_id"]: r for r in res.verdicts.collect()
+                if r["check_id"] == "ntok"}
+        assert verd["s1"]["n_violations"] == 2 and not verd["s1"]["passed"]
+        assert verd["s2"]["n_violations"] == 1 and not verd["s2"]["passed"]
+        res.unpersist()
+
+
+def test_salted_unique_is_key_generic(spark):
+    """The salted uniqueness path must work on ANY frame with the named
+    key (pre-fix it hashed a hard-coded n_tok column into the salt and
+    crashed on frames without one); salted ≡ unsalted output."""
+    df = spark.createDataFrame(
+        [("e1", "s1"), ("e1", "s1"), ("e2", "s1"), ("e3", "s2"), ("e3", "s2")],
+        "event_id string, source string")
+    salted = run_checks(df, [Check("u", "unique",
+                                   {"key": "event_id", "salt_buckets": 8})])
+    plain = run_checks(df, [Check("u", "unique", {"key": "event_id"})])
+    key = lambda res: sorted(
+        (r["partition_id"], r["passed"], r["observed"], r["n_violations"])
+        for r in res.verdicts.collect())
+    assert key(salted) == key(plain)
+    assert {r["doc_id"] for r in salted.violations.collect()} == \
+           {r["doc_id"] for r in plain.violations.collect()} == {"e1", "e3"}
+    salted.unpersist(); plain.unpersist()

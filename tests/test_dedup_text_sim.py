@@ -481,3 +481,14 @@ def test_lsh_candidates_superset_of_emitted_pairs(docs):
     assert emitted <= cand
     n = docs.count()
     assert len(cand) < n * (n - 1) / 20   # nowhere near all-pairs
+
+
+def test_lsh_rejects_indivisible_band_width(spark):
+    """n_bits not divisible by bands used to silently drop trailing bits,
+    widening every band's collision rate — now a loud ValueError."""
+    from pyanomalydetector_spark.operators.similarity import (
+        cosine_pairs_above_lsh)
+    emb = spark.createDataFrame([(1, [0.1, 0.2])],
+                                "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="positive multiple"):
+        cosine_pairs_above_lsh(emb, n_bits=33, bands=8)
