@@ -25,11 +25,20 @@ def evict_older_than(spark: SparkSession, table_dir: str, clock_col: str,
     """Delete rows with ``clock_col < cutoff`` from a parquet state dir.
 
     Returns the number of evicted rows. Rewrite goes to a sibling temp dir,
-    then an atomic rename swap — a crash leaves the original intact.
+    then a rename swap — a crash before the first rename leaves the
+    original intact; between the two renames the directory is briefly
+    absent but the prior state survives under ``.old-*`` for hand recovery
+    (POSIX cannot swap two directories atomically).
+
+    NULL-SAFE: the contract is the reference's ``DELETE WHERE clock < X``
+    (models/history.py:51-53) — a NULL clock is not ``< X`` and therefore
+    survives. The keep-side filter must say so explicitly: plain
+    ``clock >= cutoff`` is NULL for a NULL clock and would silently evict
+    undated rows, the opposite of the SQL it mirrors.
     """
     df = spark.read.parquet(table_dir)
     total = df.count()
-    kept = df.filter(F.col(clock_col) >= cutoff)
+    kept = df.filter(F.col(clock_col).isNull() | (F.col(clock_col) >= cutoff))
     n_kept = kept.count()
     if n_kept == total:
         return 0

@@ -67,3 +67,19 @@ def test_evict_older_than_atomic_swap(spark, tmp_path):
 def test_retention_cutoff_formula():
     # detector.py:117: remove data older than startep - interval
     assert retention_cutoff(endep=1000, interval=10, retention=5) == 940
+
+
+def test_evict_keeps_null_clock_rows(spark, tmp_path):
+    """The contract is the reference's `DELETE WHERE clock < X`: a NULL
+    clock is not < X, so undated rows SURVIVE eviction (pre-fix, the
+    keep-side `clock >= cutoff` filter was NULL for them and they were
+    silently deleted)."""
+    d = str(tmp_path / "state_null")
+    spark.createDataFrame(
+        [(1, 100, 1.0), (2, None, 2.0), (3, 120, 3.0)],
+        "itemid long, clock long, value double").write.parquet(d)
+    assert evict_older_than(spark, d, "clock", cutoff=110) == 1
+    left = spark.read.parquet(d)
+    assert {r["itemid"] for r in left.collect()} == {2, 3}
+    # and the NULL row never counts as evictable on a second pass
+    assert evict_older_than(spark, d, "clock", cutoff=110) == 0
