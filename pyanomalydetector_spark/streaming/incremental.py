@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,12 +65,27 @@ class StreamingStatsState:
 
     def _commit(self, batch_id: int, version: str) -> None:
         led = self._ledger()
+        prev = led["current"]
         led["applied"] = sorted(set(led["applied"]) | {int(batch_id)})
         led["current"] = version
         tmp = self.ledger_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(led, f)
         os.replace(tmp, self.ledger_path)   # atomic pointer swap
+        # Retention (T7 applied to the state store itself): every batch
+        # writes a NEW version dir, so without pruning the store grows by
+        # one full state copy per micro-batch forever. Superseded versions
+        # are dropped AFTER the pointer swap — the new current is already
+        # durable, so a crash mid-prune only leaves extra dirs (re-pruned
+        # on the next commit). The immediately-previous version is kept as
+        # a manual-recovery fallback, matching the dedup store's compact
+        # discipline (operators/dedup.py compact_minhash_store).
+        keep = {version} | ({prev} if prev else set())
+        if os.path.isdir(self.state_dir):
+            for d in os.listdir(self.state_dir):
+                if d not in keep:
+                    shutil.rmtree(os.path.join(self.state_dir, d),
+                                  ignore_errors=True)
 
     # ------------------------------------------------------------- state ---
     def read_state(self) -> DataFrame:

@@ -270,3 +270,24 @@ def test_transformwithstate_running_stats(spark, tmp_path):
                 "spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_state_versions_are_pruned(spark, tmp_path):
+    """Each micro-batch writes a NEW state version; superseded versions must
+    be dropped after the pointer swap (keeping current + one fallback), or
+    the store grows by a full state copy per batch forever (the dedup
+    store's compaction discipline applied to streaming state)."""
+    import os
+    state = StreamingStatsState(spark, str(tmp_path / "state"), ["itemid"])
+    for b in range(5):
+        batch = spark.createDataFrame(
+            [(f"k{i}", 1, float(b + i)) for i in range(3)], SCHEMA)
+        state.apply_batch(batch, b)
+    dirs = sorted(os.listdir(state.state_dir))
+    assert dirs == ["v3", "v4"], dirs
+    # the running state is still the full 5-batch merge
+    batch_all = finalize_mean_std(sufficient_stats(
+        spark.createDataFrame(
+            [(f"k{i}", 1, float(b + i)) for b in range(5) for i in range(3)],
+            SCHEMA), ["itemid"], "value"))
+    assert _norm(state.stats()) == _norm(batch_all)
