@@ -346,13 +346,21 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
                   .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_tot = Window.partitionBy("partition_id")
 
-    cdf_p = F.sum("c_p").over(w_cum) / F.sum("c_p").over(w_tot)
-    cdf_b = F.sum("c_b").over(w_cum) / F.sum("c_b").over(w_tot)
+    # try_divide, NOT `/`: a partition whose values are ALL NULL has zero
+    # probability mass on the grid (its rows never match the value keys),
+    # so its CDF denominator is 0 — ANSI mode turns the plain division
+    # into a hard DIVIDE_BY_ZERO crash of the whole job (found by the
+    # cross-engine route fuzz; the bounded route was always safe because
+    # its divisions sit under a v-IS-NOT-NULL when-guard). The mass-less
+    # partition then scores NaN (0/0), exactly like the bounded route.
+    cdf_p = F.try_divide(F.sum("c_p").over(w_cum), F.sum("c_p").over(w_tot))
+    cdf_b = F.try_divide(F.sum("c_b").over(w_cum), F.sum("c_b").over(w_tot))
 
     out = (
         joined.withColumn("d", F.abs(cdf_p - cdf_b))
               .groupBy("partition_id")
-              .agg(F.max("d").alias("ks_d"))
+              .agg(F.when(F.sum("c_p") == 0, F.lit(float("nan")))
+                    .otherwise(F.max("d")).alias("ks_d"))
     )
     if rows is not None:
         out = _pid_nullsafe_join(out, rows, None, "inner")
@@ -490,10 +498,14 @@ def ks_by_partition_counts(df: DataFrame, partition_col: str, value_col: str,
     w_cum = Window.partitionBy("partition_id").orderBy("v") \
                   .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_tot = Window.partitionBy("partition_id")
-    cdf_p = F.sum("c_p").over(w_cum) / F.sum("c_p").over(w_tot)
-    cdf_b = F.sum("c_b").over(w_cum) / F.sum("c_b").over(w_tot)
+    # try_divide + NaN for mass-less partitions — same ANSI crash (and same
+    # fix) as ks_by_partition's grid tail above: a resumed run over a
+    # partition whose values are all NULL must score NaN, not kill the job
+    cdf_p = F.try_divide(F.sum("c_p").over(w_cum), F.sum("c_p").over(w_tot))
+    cdf_b = F.try_divide(F.sum("c_b").over(w_cum), F.sum("c_b").over(w_tot))
     return (
         joined.withColumn("d", F.abs(cdf_p - cdf_b))
               .groupBy("partition_id")
-              .agg(F.max("d").alias("ks_d"))
+              .agg(F.when(F.sum("c_p") == 0, F.lit(float("nan")))
+                    .otherwise(F.max("d")).alias("ks_d"))
     )

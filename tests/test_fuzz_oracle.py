@@ -237,12 +237,13 @@ def _blank_zscore_expected(rows, cols):
             for r in (tuple(r) for r in rows)]
 
 
-def _compare(spark, rows, tmp_path, label):
+def _compare(spark, rows, tmp_path, label, suite=None):
     df = spark.createDataFrame(rows, SCHEMA)
     path = str(tmp_path / f"{label}.parquet")
     df.write.mode("overwrite").parquet(path)
 
-    res = run_checks(spark.read.parquet(path), default_suite(ALLOWED))
+    res = run_checks(spark.read.parquet(path),
+                     suite if suite is not None else default_suite(ALLOWED))
     try:
         v_cols = res.verdicts.columns
         s_verd = _canon([tuple(r) for r in res.verdicts.collect()], v_cols)
@@ -309,6 +310,41 @@ def test_suite_matches_duckdb_on_degenerate_tables(spark, tmp_path, case):
 
 def test_suite_matches_duckdb_on_empty_table(spark, tmp_path):
     _compare(spark, [], tmp_path, "empty")
+
+
+# Alternate execution routes must hit the SAME oracle: today they are only
+# pinned route ≡ route (salted ≡ unsalted, digest ≡ direct, low-cardinality
+# PSI ≡ two-pass, guarded KS grid ≡ bounded one-plan) — equivalences that,
+# like fused ≡ per-check, a shared semantic bug satisfies trivially.
+ROUTE_OVERRIDES = {
+    "salted_unique": ("unique", {"salt_buckets": 4}),
+    "digest_unique": ("unique", {"digest_prefilter": True}),
+    "lowcard_psi": ("drift_psi", {"low_cardinality": True}),
+    "guarded_ks": ("drift_ks", {"bounded": False}),
+}
+
+
+def _suite_with(kind: str, extra: dict):
+    suite = default_suite(ALLOWED)
+    out = []
+    for c in suite:
+        if c.kind == kind:
+            params = {k: v for k, v in c.params.items()}
+            params.update(extra)
+            if extra.get("bounded") is False:
+                params.pop("bounded")
+            c = type(c)(c.check_id, c.kind, params)
+        out.append(c)
+    return out
+
+
+@pytest.mark.parametrize("route", sorted(ROUTE_OVERRIDES))
+def test_route_variants_match_duckdb(spark, tmp_path, route):
+    kind, extra = ROUTE_OVERRIDES[route]
+    suite = _suite_with(kind, extra)
+    _compare(spark, _random_rows(19), tmp_path, f"{route}_r", suite=suite)
+    _compare(spark, DEGENERATE["null_island"], tmp_path, f"{route}_n",
+             suite=suite)
 
 
 def test_null_metadata_contradiction_counts(spark, tmp_path):
