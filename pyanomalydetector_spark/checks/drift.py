@@ -356,10 +356,19 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
     cdf_p = F.try_divide(F.sum("c_p").over(w_cum), F.sum("c_p").over(w_tot))
     cdf_b = F.try_divide(F.sum("c_b").over(w_cum), F.sum("c_b").over(w_tot))
 
+    # The NaN guard covers EITHER mass-less side: an all-NULL partition
+    # (sum c_p = 0) OR an explicit baseline with zero grid mass (sum c_b =
+    # 0 — e.g. captured from an all-NULL value column). A one-sided guard
+    # would leave the baseline case at max(NULL d) = NULL, and a NULL ks_d
+    # makes the verdict `NULL <= threshold` = NULL — silently neither pass
+    # nor fail, where the documented semantics are NaN → fail. Self-
+    # baseline is unaffected (zero global mass implies zero partition
+    # mass, so the c_p disjunct already fires).
+    no_mass = (F.sum("c_p") == 0) | (F.sum("c_b") == 0)
     out = (
         joined.withColumn("d", F.abs(cdf_p - cdf_b))
               .groupBy("partition_id")
-              .agg(F.when(F.sum("c_p") == 0, F.lit(float("nan")))
+              .agg(F.when(no_mass, F.lit(float("nan")))
                     .otherwise(F.max("d")).alias("ks_d"))
     )
     if rows is not None:
@@ -503,9 +512,15 @@ def ks_by_partition_counts(df: DataFrame, partition_col: str, value_col: str,
     # partition whose values are all NULL must score NaN, not kill the job
     cdf_p = F.try_divide(F.sum("c_p").over(w_cum), F.sum("c_p").over(w_tot))
     cdf_b = F.try_divide(F.sum("c_b").over(w_cum), F.sum("c_b").over(w_tot))
+    # either mass-less side → NaN (→ fail), same rationale as
+    # ks_by_partition: a pinned count table whose only rows are the NULL-v
+    # group carries zero grid mass (the broadcast equi-join on v skips
+    # NULL), and without the c_b disjunct the verdict would be a silent
+    # NULL instead of the documented NaN → fail
+    no_mass = (F.sum("c_p") == 0) | (F.sum("c_b") == 0)
     return (
         joined.withColumn("d", F.abs(cdf_p - cdf_b))
               .groupBy("partition_id")
-              .agg(F.when(F.sum("c_p") == 0, F.lit(float("nan")))
+              .agg(F.when(no_mass, F.lit(float("nan")))
                     .otherwise(F.max("d")).alias("ks_d"))
     )

@@ -414,6 +414,60 @@ def test_bounded_ks_eq_grid_ks_with_null_partition(spark):
     assert len(snap(True)) == 2        # s1 + the NULL partition
 
 
+def test_ks_massless_sides_score_nan_not_null(spark):
+    """Either mass-less KS side must score NaN (→ fail), never NULL.
+
+    A NULL ks_d would make the verdict ``NULL <= threshold`` = NULL —
+    silently neither pass nor fail, dropped by any passed/~passed filter.
+    Three shapes, all hit in real pipelines via the checkpoint store
+    (plans/checkpoint.py:315 pins the NULL-v group of an all-NULL column):
+    (a) pinned counts route, all-NULL-value partition next to healthy ones;
+    (b) pinned counts route, baseline captured from an all-NULL column
+        (only the NULL-v group → zero grid mass) over healthy data;
+    (c) grid route, explicit all-NULL baseline frame over healthy data.
+    """
+    import math
+    from pyanomalydetector_spark.checks.drift import (
+        ks_by_partition, ks_by_partition_counts)
+
+    healthy = spark.createDataFrame(
+        [("s1", 10), ("s1", 12), ("s2", 11), ("s2", 14)],
+        "source string, n_tok int")
+    island = healthy.union(spark.createDataFrame(
+        [("s3", None), ("s3", None)], "source string, n_tok int"))
+
+    def assert_nan(x, label):
+        assert x is not None and math.isnan(x), (label, x)
+
+    # (a) healthy pinned baseline, one all-NULL partition
+    pinned = healthy.select(F.col("n_tok").cast("double").alias("v")) \
+                    .groupBy("v").agg(F.count(F.lit(1)).alias("c_b"))
+    out_a = {r["partition_id"]: r["ks_d"]
+             for r in ks_by_partition_counts(
+                 island, "source", "n_tok", pinned).collect()}
+    assert_nan(out_a["s3"], "a:s3")
+    assert not math.isnan(out_a["s1"]) and not math.isnan(out_a["s2"])
+
+    # (b) pinned counts from an all-NULL column: only the NULL-v group,
+    # which the grid's equi-join skips → zero baseline mass everywhere
+    null_pin = spark.createDataFrame(
+        [(None, 7)], "v double, c_b bigint")
+    out_b = {r["partition_id"]: r["ks_d"]
+             for r in ks_by_partition_counts(
+                 healthy, "source", "n_tok", null_pin).collect()}
+    for pid, v in out_b.items():
+        assert_nan(v, f"b:{pid}")
+
+    # (c) grid route with an explicit all-NULL baseline frame
+    all_null = spark.createDataFrame(
+        [("s1", None), ("s2", None)], "source string, n_tok int")
+    out_c = {r["partition_id"]: r["ks_d"]
+             for r in ks_by_partition(
+                 healthy, "source", "n_tok", baseline=all_null).collect()}
+    for pid, v in out_c.items():
+        assert_nan(v, f"c:{pid}")
+
+
 def test_token_invariant_null_partition(spark):
     df = _null_partition_fixture(spark)
     snapshot = df.dropDuplicates(["doc_id"]).withColumn(

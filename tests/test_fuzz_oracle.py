@@ -325,14 +325,14 @@ ROUTE_OVERRIDES = {
 
 
 def _suite_with(kind: str, extra: dict):
+    # bounded=False may stay in params verbatim: the dispatcher reads
+    # params.get("bounded", False), so absent and False are identical
     suite = default_suite(ALLOWED)
     out = []
     for c in suite:
         if c.kind == kind:
-            params = {k: v for k, v in c.params.items()}
+            params = dict(c.params)
             params.update(extra)
-            if extra.get("bounded") is False:
-                params.pop("bounded")
             c = type(c)(c.check_id, c.kind, params)
         out.append(c)
     return out
