@@ -208,6 +208,42 @@ def _psi_low_cardinality(df: DataFrame, partition_col: str, value_col: str,
                        base_total, n_buckets)
 
 
+def _ks_grid_tail(joined: DataFrame) -> DataFrame:
+    """CDF comparison + per-partition KS-D over a dense ``(partition_id, v,
+    c_p, c_b)`` grid — the ONE tail shared by :func:`ks_by_partition` and
+    :func:`ks_by_partition_counts`, so the grid ≡ pinned-counts parity the
+    fuzz layer pins can't drift out of lockstep.
+
+    - ``try_divide``, NOT ``/``: a side whose values are ALL NULL has zero
+      probability mass on the grid (its rows never match the value keys),
+      so its CDF denominator is 0 — ANSI mode turns the plain division
+      into a hard DIVIDE_BY_ZERO crash of the whole job (found by the
+      cross-engine route fuzz; the bounded route was always safe because
+      its divisions sit under a v-IS-NOT-NULL when-guard).
+    - The NaN guard covers EITHER mass-less side: an all-NULL partition
+      (sum c_p = 0) OR a baseline with zero grid mass (sum c_b = 0 — e.g.
+      pinned counts captured from an all-NULL value column, whose only row
+      is the NULL-v group the grid's equi-join skips). A one-sided guard
+      would leave the baseline case at max(NULL d) = NULL, and a NULL ks_d
+      makes the verdict ``NULL <= threshold`` = NULL — silently neither
+      pass nor fail, where the documented semantics are NaN → fail. Self-
+      baseline is unaffected (zero global mass implies zero partition
+      mass, so the c_p disjunct already fires).
+    """
+    w_cum = Window.partitionBy("partition_id").orderBy("v") \
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_tot = Window.partitionBy("partition_id")
+    cdf_p = F.try_divide(F.sum("c_p").over(w_cum), F.sum("c_p").over(w_tot))
+    cdf_b = F.try_divide(F.sum("c_b").over(w_cum), F.sum("c_b").over(w_tot))
+    no_mass = (F.sum("c_p") == 0) | (F.sum("c_b") == 0)
+    return (
+        joined.withColumn("d", F.abs(cdf_p - cdf_b))
+              .groupBy("partition_id")
+              .agg(F.when(no_mass, F.lit(float("nan")))
+                    .otherwise(F.max("d")).alias("ks_d"))
+    )
+
+
 def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
                     baseline: DataFrame | None = None,
                     cache_registry: list | None = None,
@@ -342,35 +378,7 @@ def ks_by_partition(df: DataFrame, partition_col: str, value_col: str,
             .na.fill({"c_p": 0, "c_b": 0})
     )
 
-    w_cum = Window.partitionBy("partition_id").orderBy("v") \
-                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_tot = Window.partitionBy("partition_id")
-
-    # try_divide, NOT `/`: a partition whose values are ALL NULL has zero
-    # probability mass on the grid (its rows never match the value keys),
-    # so its CDF denominator is 0 — ANSI mode turns the plain division
-    # into a hard DIVIDE_BY_ZERO crash of the whole job (found by the
-    # cross-engine route fuzz; the bounded route was always safe because
-    # its divisions sit under a v-IS-NOT-NULL when-guard). The mass-less
-    # partition then scores NaN (0/0), exactly like the bounded route.
-    cdf_p = F.try_divide(F.sum("c_p").over(w_cum), F.sum("c_p").over(w_tot))
-    cdf_b = F.try_divide(F.sum("c_b").over(w_cum), F.sum("c_b").over(w_tot))
-
-    # The NaN guard covers EITHER mass-less side: an all-NULL partition
-    # (sum c_p = 0) OR an explicit baseline with zero grid mass (sum c_b =
-    # 0 — e.g. captured from an all-NULL value column). A one-sided guard
-    # would leave the baseline case at max(NULL d) = NULL, and a NULL ks_d
-    # makes the verdict `NULL <= threshold` = NULL — silently neither pass
-    # nor fail, where the documented semantics are NaN → fail. Self-
-    # baseline is unaffected (zero global mass implies zero partition
-    # mass, so the c_p disjunct already fires).
-    no_mass = (F.sum("c_p") == 0) | (F.sum("c_b") == 0)
-    out = (
-        joined.withColumn("d", F.abs(cdf_p - cdf_b))
-              .groupBy("partition_id")
-              .agg(F.when(no_mass, F.lit(float("nan")))
-                    .otherwise(F.max("d")).alias("ks_d"))
-    )
+    out = _ks_grid_tail(joined)
     if rows is not None:
         out = _pid_nullsafe_join(out, rows, None, "inner")
     return out
@@ -504,23 +512,4 @@ def ks_by_partition_counts(df: DataFrame, partition_col: str, value_col: str,
             .join(F.broadcast(base_counts), ["v"], "left")
             .na.fill({"c_p": 0, "c_b": 0})
     )
-    w_cum = Window.partitionBy("partition_id").orderBy("v") \
-                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_tot = Window.partitionBy("partition_id")
-    # try_divide + NaN for mass-less partitions — same ANSI crash (and same
-    # fix) as ks_by_partition's grid tail above: a resumed run over a
-    # partition whose values are all NULL must score NaN, not kill the job
-    cdf_p = F.try_divide(F.sum("c_p").over(w_cum), F.sum("c_p").over(w_tot))
-    cdf_b = F.try_divide(F.sum("c_b").over(w_cum), F.sum("c_b").over(w_tot))
-    # either mass-less side → NaN (→ fail), same rationale as
-    # ks_by_partition: a pinned count table whose only rows are the NULL-v
-    # group carries zero grid mass (the broadcast equi-join on v skips
-    # NULL), and without the c_b disjunct the verdict would be a silent
-    # NULL instead of the documented NaN → fail
-    no_mass = (F.sum("c_p") == 0) | (F.sum("c_b") == 0)
-    return (
-        joined.withColumn("d", F.abs(cdf_p - cdf_b))
-              .groupBy("partition_id")
-              .agg(F.when(no_mass, F.lit(float("nan")))
-                    .otherwise(F.max("d")).alias("ks_d"))
-    )
+    return _ks_grid_tail(joined)

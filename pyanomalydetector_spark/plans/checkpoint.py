@@ -31,6 +31,8 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -57,12 +59,33 @@ def suite_hash(checks: list[Check]) -> str:
     ``done_partitions`` would serve stale verdicts instead of re-checking —
     violating the module's gap-reset contract. File-backed frames hash
     their sorted file listing (a parquet rewrite always lands new
-    uniquely-named part files); in-memory frames hash their content (they
-    are small, driver-created config frames)."""
+    uniquely-named part files) PLUS the canonicalized analyzed plan —
+    ``read.parquet(p).filter("source='s1'")`` and the same read filtered to
+    ``'s2'`` list identical input files, so files alone would alias two
+    different baselines onto one hash; the plan string captures every
+    transformation (filter/projection/join) above the scan. Expression ids
+    (``#123``) are session-assigned and stripped, else the SAME suite would
+    hash differently on every run and spuriously gap-reset. ``file:`` URIs
+    additionally carry (size, mtime) — a non-Spark writer rewriting a file
+    IN PLACE under the same name must change the identity, matching
+    :func:`snapshot_id_for_dir`'s discipline for the main input. In-memory
+    frames hash their content (they are small, driver-created config
+    frames)."""
     def df_identity(v: DataFrame):
         files = sorted(v.inputFiles())
         if files:
-            return {"df_files": files}
+            plan = v._jdf.queryExecution().analyzed().toString()
+            stats = []
+            for u in files:
+                if u.startswith("file:"):
+                    p = re.sub(r"^file:/+", "/", u)
+                    try:
+                        st = os.stat(p)
+                        stats.append((st.st_size, int(st.st_mtime)))
+                    except OSError:
+                        stats.append(None)
+            return {"df_files": files, "df_stats": stats,
+                    "df_plan": re.sub(r"#\d+", "#", plan)}
         row = v.select(
             # decimal sum: ANSI mode would throw on BIGINT sum overflow
             F.sum(F.xxhash64(*[F.col(c) for c in sorted(v.columns)])
@@ -220,15 +243,44 @@ class CheckpointStore:
         between unrecoverable — every later run would load the baseline,
         then raise on the missing ks_counts path until someone hand-deleted
         the json. A crash before the json simply recomputes; a torn json
-        can never be observed through the rename."""
+        can never be observed through the rename.
+
+        The count tables land in dirs VERSIONED by (suite_hash, snapshot):
+        an unversioned ``ks/<vc>`` would be clobbered by the overwrite-write
+        for a NEW (hash, snapshot) BEFORE the json swap, so a crash in that
+        window would leave the old json validly pointing at the new run's
+        (or a torn) parquet — silently wrong ks_d against a baseline that
+        passes load_baseline's identity check. With versioned dirs the old
+        pointer's data is never touched; superseded versions are pruned
+        only AFTER the swap (keeping the previous version as the
+        manual-recovery fallback, the streaming state store's discipline —
+        a crash mid-prune just leaves extra dirs for the next save)."""
+        prev_keep: set[str] = set()
+        if os.path.exists(self.baseline_json):
+            try:
+                with open(self.baseline_json) as f:
+                    prev_keep = set(json.load(f).get("ks_dirs", {}).values())
+            except (OSError, ValueError):
+                pass
+        ver = f"{shash}_{snap}"
+        ks_dirs = {}
         for vc, df in ks_counts.items():
-            df.write.mode("overwrite").parquet(os.path.join(self.ks_dir, vc))
+            d = f"{vc}__{ver}"
+            df.write.mode("overwrite").parquet(os.path.join(self.ks_dir, d))
+            ks_dirs[vc] = d
         tmp = self.baseline_json + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"suite_hash": shash, "snapshot_id": snap,
                        "moments": bl.moments, "psi": bl.psi,
-                       "ks_value_cols": bl.ks_value_cols}, f)
+                       "ks_value_cols": bl.ks_value_cols,
+                       "ks_dirs": ks_dirs}, f)
         os.replace(tmp, self.baseline_json)
+        if os.path.isdir(self.ks_dir):
+            keep = set(ks_dirs.values()) | prev_keep
+            for d in os.listdir(self.ks_dir):
+                if d not in keep:
+                    shutil.rmtree(os.path.join(self.ks_dir, d),
+                                  ignore_errors=True)
 
     def load_baseline(self, shash: str, snap: str) -> PinnedBaseline | None:
         if not os.path.exists(self.baseline_json):
@@ -240,7 +292,11 @@ class CheckpointStore:
         return PinnedBaseline(d["moments"], d["psi"], d["ks_value_cols"])
 
     def ks_counts(self, value_col: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.ks_dir, value_col))
+        d = value_col   # legacy layout: unversioned dir named by the column
+        if os.path.exists(self.baseline_json):
+            with open(self.baseline_json) as f:
+                d = json.load(f).get("ks_dirs", {}).get(value_col, d)
+        return self.spark.read.parquet(os.path.join(self.ks_dir, d))
 
     # ------------------------------------------------------------ results ---
     def _read_results(self, directory: str, schema, shash: str, snap: str) -> DataFrame:

@@ -89,6 +89,12 @@ class StreamingStatsState:
 
     # ------------------------------------------------------------- state ---
     def read_state(self) -> DataFrame:
+        """Lazy scan of the CURRENT state version.
+
+        Lifetime contract: _commit prunes superseded version dirs (keeping
+        current + previous), so a frame returned here stays resolvable for
+        at most TWO further commits — consume it before then, or use
+        :meth:`stats`, which is commit-independent."""
         cur = self._ledger()["current"]
         if cur is None:
             schema = ", ".join(f"`{k}` string" for k in self.keys)
@@ -97,8 +103,15 @@ class StreamingStatsState:
         return self.spark.read.parquet(os.path.join(self.state_dir, cur))
 
     def stats(self) -> DataFrame:
-        """Finalized (mean/std) view of the running state."""
-        return finalize_mean_std(self.read_state())
+        """Finalized (mean/std) view of the running state, MATERIALIZED:
+        one row per key group (bounded by the partition-key cardinality, by
+        design), collected and re-created so the returned frame has no file
+        dependency — a monitoring thread can hold it across any number of
+        micro-batch commits without tripping over the version pruning that
+        would invalidate a lazy scan of a since-deleted state dir (and no
+        localCheckpoint, whose pinned RDDs outlive catalog.clearCache)."""
+        out = finalize_mean_std(self.read_state())
+        return self.spark.createDataFrame(out.collect(), out.schema)
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: merge the batch's partial aggregates (T2).

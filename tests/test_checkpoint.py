@@ -12,7 +12,7 @@ from pyanomalydetector_spark.sources.sequences import load_sequences
 from pyanomalydetector_spark.checks.core import Check, run_checks, default_suite
 from pyanomalydetector_spark.plans.checkpoint import (
     CheckpointStore, run_with_checkpoint, suite_hash, snapshot_id_for_dir,
-    compute_baseline, pin_suite, CKPT_SCHEMA,
+    compute_baseline, pin_suite, CKPT_SCHEMA, PinnedBaseline,
 )
 
 
@@ -223,6 +223,80 @@ def test_suite_hash_sees_dataframe_param_content(spark, tmp_path):
     f2 = suite_hash([Check("ti", "token_invariant",
                            {"expected": spark.read.parquet(p)})])
     assert f1 != f2
+
+
+def test_suite_hash_sees_transformations_over_same_files(spark, tmp_path):
+    """File-backed frame identity is files + canonicalized analyzed plan:
+    two different FILTERS over the same parquet list identical input files,
+    so files alone would alias them onto one suite hash and done_partitions
+    would serve the other baseline's verdicts. The plan's session-assigned
+    expression ids (#123) must be stripped, or the SAME suite rebuilt in a
+    fresh read (new exprIds) would hash differently and spuriously
+    gap-reset on every run."""
+    snap = spark.createDataFrame(
+        [("d1", [1, 2]), ("d2", [3, 4])], "doc_id string, tokens array<int>")
+    p = str(tmp_path / "snap.parquet")
+    snap.write.parquet(p)
+
+    def h(pred):
+        frame = spark.read.parquet(p).filter(pred)
+        return suite_hash([Check("ti", "token_invariant",
+                                 {"expected": frame})])
+
+    assert h("doc_id = 'd1'") != h("doc_id = 'd2'")
+    # same transformation, rebuilt from scratch (fresh exprIds) → same hash
+    assert h("doc_id = 'd1'") == h("doc_id = 'd1'")
+    # a projection also changes the identity
+    proj = suite_hash([Check("ti", "token_invariant",
+                             {"expected": spark.read.parquet(p)
+                                               .select("doc_id")})])
+    plain = suite_hash([Check("ti", "token_invariant",
+                              {"expected": spark.read.parquet(p)})])
+    assert proj != plain
+
+
+def test_ks_baseline_dirs_are_versioned_and_crash_safe(spark, tmp_path):
+    """The pinned KS count tables land in dirs versioned by (suite_hash,
+    snapshot): a re-pin for a NEW snapshot that crashes before the json
+    pointer swap must leave the OLD pointer's counts untouched — an
+    unversioned ks/<vc> dir would already be clobbered by the overwrite
+    write, so the old json would validly point at the new run's (or torn)
+    parquet: silently wrong ks_d. Superseded versions are pruned after the
+    swap, keeping the previous one as the manual-recovery fallback; the
+    legacy unversioned layout still loads."""
+    import os
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    bl = PinnedBaseline(ks_value_cols=["n_tok"])
+    cnt_a = spark.createDataFrame([(10.0, 3)], "v double, c_b long")
+    cnt_b = spark.createDataFrame([(99.0, 7)], "v double, c_b long")
+    store.save_baseline("S", "snapA", bl, {"n_tok": cnt_a})
+
+    # crashed re-pin for snapB: version dir written, json NOT swapped
+    cnt_b.write.parquet(os.path.join(store.ks_dir, "n_tok__S_snapB"))
+    assert store.load_baseline("S", "snapA") is not None
+    assert [(r["v"], r["c_b"]) for r in store.ks_counts("n_tok").collect()] \
+        == [(10.0, 3)]
+
+    # completed re-pin: pointer moves, previous version kept as fallback
+    store.save_baseline("S", "snapB", bl, {"n_tok": cnt_b})
+    assert [(r["v"], r["c_b"]) for r in store.ks_counts("n_tok").collect()] \
+        == [(99.0, 7)]
+    assert os.path.isdir(os.path.join(store.ks_dir, "n_tok__S_snapA"))
+    # a third pin prunes the first version (current + previous kept)
+    store.save_baseline("S", "snapC", bl, {"n_tok": cnt_a})
+    assert not os.path.isdir(os.path.join(store.ks_dir, "n_tok__S_snapA"))
+    assert os.path.isdir(os.path.join(store.ks_dir, "n_tok__S_snapB"))
+
+    # legacy unversioned layout (json without ks_dirs) still loads
+    import json as _json
+    legacy = CheckpointStore(spark, str(tmp_path / "ck_legacy"))
+    os.makedirs(legacy.ks_dir, exist_ok=True)
+    cnt_a.write.parquet(os.path.join(legacy.ks_dir, "n_tok"))
+    with open(legacy.baseline_json, "w") as f:
+        _json.dump({"suite_hash": "S", "snapshot_id": "snapA",
+                    "moments": {}, "psi": {}, "ks_value_cols": ["n_tok"]}, f)
+    assert [(r["v"], r["c_b"]) for r in legacy.ks_counts("n_tok").collect()] \
+        == [(10.0, 3)]
 
 
 def test_compute_baseline_degrades_gracefully_on_degenerate_input(spark, tmp_path):

@@ -291,3 +291,21 @@ def test_state_versions_are_pruned(spark, tmp_path):
             [(f"k{i}", 1, float(b + i)) for b in range(5) for i in range(3)],
             SCHEMA), ["itemid"], "value"))
     assert _norm(state.stats()) == _norm(batch_all)
+
+
+def test_stats_frame_survives_version_pruning(spark, tmp_path):
+    """stats() is materialized (no file dependency): a frame handed to a
+    monitoring thread stays collectible after later commits prune the state
+    version it was derived from — a lazy scan would FileNotFound on the
+    rmtree'd dir. It snapshots the state AS OF its call, by contract."""
+    state = StreamingStatsState(spark, str(tmp_path / "state"), ["itemid"])
+    state.apply_batch(spark.createDataFrame(
+        [("k0", 1, 2.0), ("k1", 1, 4.0)], SCHEMA), 0)
+    held = state.stats()
+    snap_then = _norm(held)
+    # three more commits: v0 (held's source) is pruned (keep = {v3, v2})
+    for b in range(1, 4):
+        state.apply_batch(spark.createDataFrame(
+            [(f"k{i}", 1, float(b * i)) for i in range(3)], SCHEMA), b)
+    assert "v0" not in os.listdir(state.state_dir)
+    assert _norm(held) == snap_then        # still collectible, as-of values
