@@ -93,7 +93,13 @@ def run_suite(cores: int) -> tuple[float, int]:
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--run":
-        # child mode: one clean JVM per cluster size
+        # child mode: one clean JVM per cluster size. Regenerate a missing
+        # fixture here too (its own short-lived local[32] session, BEFORE
+        # run_suite's timed section) — fixtures under data/ are disposable
+        # and --run used to crash when one had been cleaned away.
+        if not os.path.isdir(DATA):
+            print(f"generating {N_ROWS} rows -> {DATA}", file=sys.stderr)
+            generate(N_ROWS)
         t, n_rows = run_suite(int(sys.argv[2]))
         print(json.dumps({"sec": t, "n_rows": n_rows}))
         return
