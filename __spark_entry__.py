@@ -184,6 +184,22 @@ def _q_seq_ntok_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seq_token_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id vocabulary-bounds check (checks/core.py token_range; fusible
+    in checks/fused.py): rows whose token array holds an id outside
+    [2000, 48000) — two-sided bounds that deliberately cut into the
+    fixture's realized md5-token id range [1658, 48113], so BOTH predicate
+    ends produce deterministic violations (the fixture's own word pool
+    never leaves [0, VOCAB), so a pure vocab bound would be vacuous here).
+    Emits one violation row per physical row with the FIRST offending id."""
+    seq = load_sequences(spark, sf_dir)
+    res = run_checks(seq, [Check("tok_range", "token_range",
+                                 {"min_value": 2000, "max_value": 48000})])
+    return res.violations.select(
+        "partition_id", "doc_id",
+        F.col("observed").alias("bad_token"))
+
+
 def _q_seq_zscore_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """detect1 semantics (detector.py:211,218) as per-partition verdicts."""
     seq = load_sequences(spark, sf_dir)
@@ -1135,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_ivf": _q_emb_ann_ivf,
         "emb_cosine_pairs": _q_emb_cosine_pairs,
         "seq_unique_violations_digest": _q_seq_unique_violations_digest,
+        "seq_token_range": _q_seq_token_range,
     }
 
 
@@ -2132,6 +2149,20 @@ def oracle_sql() -> dict[str, str]:
                         sqrt(list_dot_product(b.v, b.v))) AS cos_sim
                 FROM base a JOIN base b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.4
+        """,
+        # token_range: first offending element per violating row; the
+        # element predicate absorbs NULL elements, so list_filter's result
+        # is non-empty exactly when the row violates (DuckDB [1] is 1-based
+        # and NULL-safe, like Spark's TRY_ELEMENT_AT)
+        "seq_token_range": f"""
+            SELECT source AS partition_id, doc_id,
+                   COALESCE(CAST((list_filter(tokens,
+                       t -> t IS NULL OR t < 2000 OR t >= 48000))[1]
+                       AS VARCHAR), 'NULL') AS bad_token
+            FROM {_SEQ}
+            WHERE tokens IS NOT NULL
+              AND len(list_filter(tokens,
+                      t -> t IS NULL OR t < 2000 OR t >= 48000)) > 0
         """,
         # digest-prefilter route emits EXACT outputs — same oracle as the
         # direct unique check

@@ -31,6 +31,9 @@ Check kinds and their reference lineage:
 - ``referential``      — membership of ``source`` in an allowed dimension
   (models/anomalies.py:94-104 anti-join discipline).
 - ``n_tok_consistency``— metadata invariant ``n_tok == size(tokens)``.
+- ``token_range``      — token-id vocabulary bounds: every array element
+  non-NULL and in ``[min_value, max_value)`` (detect1's absolute-limit
+  predicate applied element-wise to the token payload).
 - ``token_invariant``  — token-array byte-equality against a trusted snapshot:
   xxhash64+length prefilter, exact array compare on candidates.
 - ``drift_psi`` / ``drift_ks`` — distribution drift vs pinned baseline
@@ -563,6 +566,67 @@ def _check_n_tok_consistency(df: DataFrame, check: Check, pcol: str) -> CheckRes
     return CheckResult(_finish_verdicts(verdicts), _finish_violations(viol))
 
 
+def _check_token_range(df: DataFrame, check: Check, pcol: str) -> CheckResult:
+    """Token-id vocabulary-bounds check: every element of the token array
+    must be non-NULL and lie in ``[min_value, max_value)`` — the tokenized-
+    corpus analog of the reference's hard threshold predicate (detect1's
+    absolute limits, /root/reference/data_processing/detector.py:211): a
+    token id outside the tokenizer's vocabulary, or a NULL element, proves
+    upstream corruption regardless of any distribution.
+
+    Semantics (pinned by tests/test_checks.py + the cross-engine fuzz):
+
+    - a NULL tokens ARRAY passes — array presence/length is
+      ``n_tok_consistency``'s contract, not range's;
+    - a NULL ELEMENT violates (no real tokenizer emits NULL);
+    - violation rows carry the FIRST offending element (``'NULL'`` for a
+      NULL element) and the bound as ``expected``.
+
+    Plan shape: one pruned scan → groupBy(partition) conditional sum over
+    an ``exists()`` array predicate (whole-stage codegen, shuffle
+    O(#partitions)); violations are a filter branch of the same scan
+    (O(#violations)). Fully fusible (checks/fused.py) — inside the fused
+    suite this check costs ZERO extra passes.
+    """
+    col = check.params.get("value_col", "tokens")
+    lo = int(check.params.get("min_value", 0))
+    hi = int(check.params["max_value"])
+
+    def bad_elem(t: Column) -> Column:
+        # single-arg lambda with lo/hi captured by closure (a 2-arg lambda
+        # would be called as (element, index) — CLAUDE.md); the predicate
+        # is never NULL because t.isNull() absorbs the NULL element case
+        return t.isNull() | (t < F.lit(lo)) | (t >= F.lit(hi))
+
+    arr = F.col(col)
+    row_bad = F.when(arr.isNull(), F.lit(False)).otherwise(F.exists(arr, bad_elem))
+    per_part = df.groupBy(F.col(pcol).alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.when(row_bad, 1).otherwise(0)).alias("n_bad"),
+    )
+    verdicts = per_part.select(
+        "partition_id",
+        F.lit(check.check_id).alias("check_id"),
+        (F.col("n_bad") == 0).alias("passed"),
+        F.col("n_bad").cast("double").alias("observed"),
+        F.lit(0.0).alias("expected"),
+        F.lit(0.0).alias("threshold"),
+        F.col("n_bad").alias("n_violations"),
+        F.col("rows_scanned"),
+    )
+    # try_element_at: ANSI-safe on the (unreachable) empty-filter case —
+    # row_bad guarantees at least one offending element survives the filter
+    first_bad = F.try_element_at(F.filter(arr, bad_elem), F.lit(1))
+    viol = df.filter(row_bad).select(
+        F.col(pcol).alias("partition_id"),
+        F.lit(check.check_id).alias("check_id"),
+        F.col("doc_id"),
+        F.coalesce(first_bad.cast("string"), F.lit("NULL")).alias("observed"),
+        F.lit(f"token id in [{lo}, {hi})").alias("expected"),
+    )
+    return CheckResult(_finish_verdicts(verdicts), _finish_violations(viol))
+
+
 def _token_digest_join(df: DataFrame, expected_df: DataFrame,
                        pcol: str) -> tuple[DataFrame, Column]:
     """The token-invariant's shared lazy digest frame: one scan per side,
@@ -759,6 +823,7 @@ _DISPATCH = {
     "unique": _check_unique,
     "referential": _check_referential,
     "n_tok_consistency": _check_n_tok_consistency,
+    "token_range": _check_token_range,
     "token_invariant": _check_token_invariant,
     "drift_psi": lambda df, c, p: _check_drift(df, c, p, "psi"),
     "drift_ks": lambda df, c, p: _check_drift(df, c, p, "ks"),

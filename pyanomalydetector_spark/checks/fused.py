@@ -6,7 +6,8 @@ full table scan per check (7+ scans). But most check kinds only need
 
 - ``column_stats`` / ``zscore_threshold`` → moments (sum, Σx², cnt) of a value
   column per partition;
-- ``n_tok_consistency`` / ``referential``  → conditional counts per partition;
+- ``n_tok_consistency`` / ``referential`` / ``token_range`` → conditional
+  counts per partition;
 - ``drift_psi``                            → fixed-width bucket histogram per
   partition.
 
@@ -79,7 +80,7 @@ def is_fusible(check) -> bool:
     """Checks with DataFrame-valued params use the per-check path; plain
     config (including pinned-baseline scalars) fuses."""
     k, p = check.kind, check.params
-    if k in ("column_stats", "n_tok_consistency"):
+    if k in ("column_stats", "n_tok_consistency", "token_range"):
         return True
     if k == "zscore_threshold":
         return p.get("baseline") is None
@@ -169,6 +170,18 @@ def _dcast(vc: str) -> str:
     return f"CAST({_bt(vc)} AS DOUBLE)"
 
 
+def _token_range_bad(p: dict) -> str:
+    """Row-level predicate SQL for ``token_range`` — the ONE definition the
+    aggregate and the violations scan both embed (operator-for-operator the
+    tree _check_token_range builds: NULL array → FALSE; the element
+    predicate absorbs NULL elements, so EXISTS is never NULL)."""
+    col = p.get("value_col", "tokens")
+    lo, hi = int(p.get("min_value", 0)), int(p["max_value"])
+    return (f"(CASE WHEN {_bt(col)} IS NULL THEN FALSE ELSE "
+            f"EXISTS({_bt(col)}, t -> "
+            f"(t IS NULL OR t < {lo} OR t >= {hi})) END)")
+
+
 def _moment_aggs(vc: str, tag: str) -> list[str]:
     v = _dcast(vc)
     return [
@@ -254,6 +267,9 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
                 aggs += _moment_aggs(vc, mtag)
         elif c.kind == "n_tok_consistency":
             aggs.append("SUM(CASE WHEN (NOT (n_tok <=> SIZE(tokens))) THEN 1 "
+                        f"ELSE 0 END) AS {tag}_bad")
+        elif c.kind == "token_range":
+            aggs.append(f"SUM(CASE WHEN {_token_range_bad(p)} THEN 1 "
                         f"ELSE 0 END) AS {tag}_bad")
         elif c.kind == "referential":
             col, allowed = p.get("column", "source"), sorted(p["allowed"])
@@ -392,6 +408,23 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
             viol_entries.append((
                 c.check_id, "(NOT (n_tok <=> SIZE(tokens)))",
                 "CAST(n_tok AS STRING)", "CAST(SIZE(tokens) AS STRING)"))
+        elif c.kind == "token_range":
+            col = p.get("value_col", "tokens")
+            lo, hi = int(p.get("min_value", 0)), int(p["max_value"])
+            bad_n = f"{tag}_bad"
+            verdicts.append(verdict_select(
+                pa, c.check_id,
+                passed=f"({bad_n} = 0)",
+                observed=bad_n, expected=_d(0.0), threshold=_d(0.0),
+                n_violations=bad_n, rows_scanned="_rows"))
+            bad = _token_range_bad(p)
+            # TRY_ELEMENT_AT: ANSI-safe on the (unreachable) empty-filter
+            # case — the violation cond guarantees a surviving element
+            obs = (f"COALESCE(CAST(TRY_ELEMENT_AT(FILTER({_bt(col)}, "
+                   f"t -> (t IS NULL OR t < {lo} OR t >= {hi})), 1) "
+                   f"AS STRING), 'NULL')")
+            viol_entries.append((c.check_id, bad, obs,
+                                 _sq(f"token id in [{lo}, {hi})")))
         elif c.kind == "referential":
             col, allowed = p.get("column", "source"), sorted(p["allowed"])
             in_list = ", ".join(_lit(a) for a in allowed)

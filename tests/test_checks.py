@@ -627,3 +627,56 @@ def test_salted_unique_is_key_generic(spark):
     assert {r["doc_id"] for r in salted.violations.collect()} == \
            {r["doc_id"] for r in plain.violations.collect()} == {"e1", "e3"}
     salted.unpersist(); plain.unpersist()
+
+
+def test_token_range_semantics_both_routes(spark):
+    """token_range: NULL array passes, NULL element violates, out-of-range
+    (either side) violates; the violation row carries the FIRST offending
+    element ('NULL' for a NULL element). Pinned identically on the
+    per-check and the fused route."""
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3], 3, "s1"),      # in range → pass
+         ("b", [1, None, 3], 3, "s1"),   # NULL element → violation ('NULL')
+         ("c", [1, 900, 3], 3, "s2"),    # above max → violation ('900')
+         ("d", None, None, "s2"),        # NULL array → pass
+         ("e", [], 0, "s2"),             # empty array → pass
+         ("f", [-5, 900], 2, None)],     # NULL partition; first bad is -5
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    for fuse in (False, True):
+        checks = [Check("tr", "token_range", {"max_value": 800})]
+        if fuse:   # fusion needs a second fusible check to engage
+            checks.append(Check("stats", "column_stats", {"value_col": "n_tok"}))
+        res = run_checks(df, checks, fuse=fuse)
+        viols = {(r["doc_id"], r["observed"], r["expected"])
+                 for r in res.violations.collect() if r["check_id"] == "tr"}
+        assert viols == {("b", "NULL", "token id in [0, 800)"),
+                         ("c", "900", "token id in [0, 800)"),
+                         ("f", "-5", "token id in [0, 800)")}, \
+            f"fuse={fuse}: {viols}"
+        verd = {r["partition_id"]: r for r in res.verdicts.collect()
+                if r["check_id"] == "tr"}
+        assert verd["s1"]["n_violations"] == 1 and not verd["s1"]["passed"]
+        assert verd["s2"]["n_violations"] == 1 and verd["s2"]["rows_scanned"] == 3
+        assert verd[None]["n_violations"] == 1      # NULL partition kept
+        res.unpersist()
+
+
+def test_token_range_min_bound_and_all_pass(spark):
+    """min_value cuts the low end; a fully in-range table passes with zero
+    violation rows and per-partition rows_scanned intact."""
+    df = spark.createDataFrame(
+        [("a", [10, 20], 2, "s1"), ("b", [5, 30], 2, "s1"),
+         ("c", [10], 1, "s2")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    res = run_checks(df, [Check("tr", "token_range",
+                                {"min_value": 8, "max_value": 100})])
+    viols = {(r["doc_id"], r["observed"]) for r in res.violations.collect()}
+    assert viols == {("b", "5")}
+    res.unpersist()
+    ok = run_checks(df, [Check("tr", "token_range",
+                               {"min_value": 0, "max_value": 100})])
+    assert ok.violations.count() == 0
+    verd = {r["partition_id"]: r for r in ok.verdicts.collect()}
+    assert verd["s1"]["passed"] and verd["s1"]["rows_scanned"] == 2
+    assert verd["s2"]["passed"] and verd["s2"]["rows_scanned"] == 1
+    ok.unpersist()

@@ -12,7 +12,7 @@ want a small, deterministic corpus rather than shrinking.
 import numpy as np
 import pytest
 
-from pyanomalydetector_spark.checks.core import run_checks, default_suite
+from pyanomalydetector_spark.checks.core import Check, run_checks, default_suite
 
 SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 ALLOWED = ["s1", "s2"]                     # s3 / "weird src" / NULL violate
@@ -30,6 +30,14 @@ def _random_rows(seed: int) -> list[tuple]:
         else:
             tokens = [int(t) for t in
                       rng.integers(0, 1000, size=int(rng.integers(0, 9)))]
+            # hostile element content: NULL elements + ids outside any
+            # realistic vocab window (exercises token_range's element
+            # predicate; no other check reads element values)
+            if tokens and rng.random() < 0.08:
+                tokens[int(rng.integers(0, len(tokens)))] = None
+            if tokens and rng.random() < 0.08:
+                tokens[int(rng.integers(0, len(tokens)))] = \
+                    int(rng.choice([-7, 100000]))
         r = rng.random()
         if r < 0.1:
             n_tok = None
@@ -68,7 +76,12 @@ def _norm_violations(df):
 @pytest.mark.parametrize("seed", [7, 19, 1031])
 def test_fused_eq_per_check_on_random_tables(spark, seed):
     df = spark.createDataFrame(_random_rows(seed), SCHEMA)
-    suite = default_suite(ALLOWED)
+    # default suite + token_range (fusible): the bounds slice the
+    # generator's [0, 1000) id range on both ends, and the injected NULL /
+    # out-of-window elements violate
+    suite = default_suite(ALLOWED) + [
+        Check("token_range_ids", "token_range",
+              {"min_value": 50, "max_value": 800})]
     fused = run_checks(df, suite, fuse=True)
     plain = run_checks(df, suite, fuse=False)
     try:

@@ -363,3 +363,81 @@ def test_null_metadata_contradiction_counts(spark, tmp_path):
         assert bad == {"a", "b"}
     finally:
         res.unpersist()
+
+
+# --------------------------------------------------------------- token_range
+
+from pyanomalydetector_spark.checks.core import Check  # noqa: E402
+
+_TR_PRED = "t IS NULL OR t < 50 OR t >= 800"
+_TR_CHECK = Check("token_range_ids", "token_range",
+                  {"min_value": 50, "max_value": 800})
+
+
+def _token_range_verdicts_sql(seq: str) -> str:
+    return f"""
+    SELECT source AS partition_id, 'token_range_ids' AS check_id,
+           (nb = 0) AS passed, CAST(nb AS DOUBLE) AS observed,
+           -- explicit DOUBLE: a bare 0.0 literal is DECIMAL in DuckDB and
+           -- only a UNION with a true DOUBLE column would coerce it here
+           CAST(0.0 AS DOUBLE) AS expected, CAST(0.0 AS DOUBLE) AS threshold,
+           CAST(nb AS BIGINT) AS n_violations,
+           CAST(nr AS BIGINT) AS rows_scanned
+    FROM (SELECT source, COUNT(*) AS nr,
+                 SUM(CASE WHEN tokens IS NOT NULL AND
+                     len(list_filter(tokens, t -> {_TR_PRED})) > 0
+                     THEN 1 ELSE 0 END) AS nb
+          FROM {seq} GROUP BY source)
+    """
+
+
+def _token_range_violations_sql(seq: str) -> str:
+    return f"""
+    SELECT source AS partition_id, 'token_range_ids' AS check_id, doc_id,
+           COALESCE(CAST((list_filter(tokens, t -> {_TR_PRED}))[1]
+                         AS VARCHAR), 'NULL') AS observed,
+           'token id in [50, 800)' AS expected
+    FROM {seq}
+    WHERE tokens IS NOT NULL
+      AND len(list_filter(tokens, t -> {_TR_PRED})) > 0
+    """
+
+
+@pytest.mark.parametrize("seed", [7, 1031])
+@pytest.mark.parametrize("route", ["per_check", "fused"])
+def test_token_range_matches_duckdb(spark, tmp_path, seed, route):
+    """Cross-engine oracle for token_range on the hostile corpus (NULL
+    arrays, NULL elements, out-of-window ids), on BOTH execution routes —
+    the fused SQL-string predicate and the Column-DSL per-check predicate
+    must each independently agree with DuckDB's list_filter derivation."""
+    df = spark.createDataFrame(_random_rows(seed), SCHEMA)
+    path = str(tmp_path / f"tr_{route}_{seed}.parquet")
+    df.write.mode("overwrite").parquet(path)
+
+    suite = [_TR_CHECK]
+    if route == "fused":   # fusion engages only with a second fusible check
+        suite = suite + [Check("stats", "column_stats", {"value_col": "n_tok"})]
+    res = run_checks(spark.read.parquet(path), suite)
+    try:
+        v_cols = res.verdicts.columns
+        s_verd = _canon([tuple(r) for r in res.verdicts.collect()
+                         if r["check_id"] == "token_range_ids"], v_cols)
+        w_cols = res.violations.columns
+        s_viol = _canon([tuple(r) for r in res.violations.collect()
+                         if r["check_id"] == "token_range_ids"], w_cols)
+    finally:
+        res.unpersist()
+
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW seq AS "
+                    f"SELECT * FROM read_parquet('{path}/*.parquet')")
+        vr = con.execute(_token_range_verdicts_sql("seq"))
+        o_verd = _canon(vr.fetchall(), [d[0] for d in vr.description])
+        wr = con.execute(_token_range_violations_sql("seq"))
+        o_viol = _canon(wr.fetchall(), [d[0] for d in wr.description])
+    finally:
+        con.close()
+
+    assert s_verd == o_verd, f"{route}/{seed}: verdicts diverge"
+    assert s_viol == o_viol, f"{route}/{seed}: violations diverge"

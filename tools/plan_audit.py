@@ -24,7 +24,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # queries whose plan shape is the scale story (cheap to build at sf0.01)
 AUDIT = [
     "seq_column_stats", "seq_unique_violations", "seq_token_invariant",
-    "seq_drift_psi", "seq_drift_ks",
+    "seq_token_range", "seq_drift_psi", "seq_drift_ks",
     "ev_rollup", "jdbc_rollup", "ev_detect1", "ev_detect3_counts",
     "ev_grid_resample", "ev_topn",
     "tpch_pricing_summary", "tpch_q3_shipping", "tpch_q5_local_supplier",
