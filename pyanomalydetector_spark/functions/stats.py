@@ -72,30 +72,53 @@ def finalize_mean_std(stats: DataFrame) -> DataFrame:
     )
 
 
+def _outer_combine(state: DataFrame, other: DataFrame, keys: Sequence[str],
+                   sign: int) -> DataFrame:
+    """Shared full-outer merge/retract kernel, NULL-SAFE on the keys.
+
+    ``join(on=keys)`` uses plain equality, under which a NULL key never
+    matches itself — two batches each carrying a NULL-key partial (which
+    ``sufficient_stats``'s groupBy happily emits as a group) would
+    accumulate as two separate NULL-key state rows, silently diverging
+    from the single merged row a from-scratch recompute (or the
+    reference's pandas merge, which DOES join NaN keys) produces. The
+    join keys are therefore ``eqNullSafe`` and the output key is the
+    coalesce of the two sides. Null-safe equi-keys still hash-join.
+    """
+    keys = list(keys)
+    o = other.select(*[F.col(k).alias(f"_k_{k}") for k in keys],
+                     F.col("sum").alias("_sum_o"),
+                     F.col("sqr_sum").alias("_sqr_o"),
+                     F.col("cnt").alias("_cnt_o"))
+    s = state.select(*keys, "sum", "sqr_sum", "cnt")
+    cond = None
+    for k in keys:
+        c = s[k].eqNullSafe(o[f"_k_{k}"])
+        cond = c if cond is None else (cond & c)
+    joined = s.join(o, cond, "full_outer")
+    z, zl, sg = F.lit(0.0), F.lit(0), F.lit(float(sign))
+    return joined.select(
+        *[F.coalesce(s[k], o[f"_k_{k}"]).alias(k) for k in keys],
+        (F.coalesce("sum", z) + sg * F.coalesce("_sum_o", z)).alias("sum"),
+        (F.coalesce("sqr_sum", z)
+         + sg * F.coalesce("_sqr_o", z)).alias("sqr_sum"),
+        (F.coalesce(F.col("cnt").cast("long"), zl) +
+         F.lit(sign) * F.coalesce(F.col("_cnt_o").cast("long"), zl))
+        .alias("cnt"),
+    )
+
+
 def merge_stats(state: DataFrame, new: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Add new partial aggregates into persisted state (window advance).
 
     Reference: stats.py:88-98 — inner merge + add, but keys absent from state
     must still be kept (the reference handles them via its existing/nonexisting
     key split, models/model.py:49-65); a full-outer join + coalesce folds both
-    paths into one distributed op. At production scale this is the MERGE INTO
+    paths into one distributed op (NULL-safe on the keys — see
+    :func:`_outer_combine`). At production scale this is the MERGE INTO
     against the Iceberg checkpoint table.
     """
-    keys = list(keys)
-    n = new.select(*keys,
-                   F.col("sum").alias("_sum_new"),
-                   F.col("sqr_sum").alias("_sqr_new"),
-                   F.col("cnt").alias("_cnt_new"))
-    joined = state.select(*keys, "sum", "sqr_sum", "cnt") \
-                  .join(n, on=keys, how="full_outer")
-    z = F.lit(0.0)
-    return joined.select(
-        *keys,
-        (F.coalesce("sum", z) + F.coalesce("_sum_new", z)).alias("sum"),
-        (F.coalesce("sqr_sum", z) + F.coalesce("_sqr_new", z)).alias("sqr_sum"),
-        (F.coalesce(F.col("cnt").cast("long"), F.lit(0)) +
-         F.coalesce(F.col("_cnt_new").cast("long"), F.lit(0))).alias("cnt"),
-    )
+    return _outer_combine(state, new, keys, +1)
 
 
 def retract_stats(state: DataFrame, expired: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -103,23 +126,10 @@ def retract_stats(state: DataFrame, expired: DataFrame, keys: Sequence[str]) -> 
 
     Reference: stats.py:107-124 — outer merge, fillna(0), subtract. Spark has
     no built-in aggregate retraction; this join-and-subtract is the distributed
-    equivalent, idempotent when driven by the checkpoint's watermark.
+    equivalent (NULL-safe keys, :func:`_outer_combine`), idempotent when
+    driven by the checkpoint's watermark.
     """
-    keys = list(keys)
-    e = expired.select(*keys,
-                       F.col("sum").alias("_sum_old"),
-                       F.col("sqr_sum").alias("_sqr_old"),
-                       F.col("cnt").alias("_cnt_old"))
-    joined = state.select(*keys, "sum", "sqr_sum", "cnt") \
-                  .join(e, on=keys, how="full_outer")
-    z = F.lit(0.0)
-    return joined.select(
-        *keys,
-        (F.coalesce("sum", z) - F.coalesce("_sum_old", z)).alias("sum"),
-        (F.coalesce("sqr_sum", z) - F.coalesce("_sqr_old", z)).alias("sqr_sum"),
-        (F.coalesce(F.col("cnt").cast("long"), F.lit(0)) -
-         F.coalesce(F.col("_cnt_old").cast("long"), F.lit(0))).alias("cnt"),
-    )
+    return _outer_combine(state, expired, keys, -1)
 
 
 def welford_stats(df: DataFrame, keys: Sequence[str], value_col: str = "value") -> DataFrame:

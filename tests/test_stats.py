@@ -178,3 +178,36 @@ def test_packing_two_phase_equals_single_on_whale_source(spark):
     n_whale_buckets = narrow.filter(F.col("source") == "whale") \
                             .select("_bkt").distinct().count()
     assert n_whale_buckets > 1, n_whale_buckets
+
+
+def test_merge_retract_null_key_is_one_group(spark):
+    """A NULL key must merge/retract as ONE group across batches: the old
+    plain-equality full-outer join never matched NULL = NULL, so every
+    batch carrying a NULL-key partial appended a fresh NULL-key state row,
+    silently diverging from a from-scratch recompute (and from the
+    reference's pandas merge, which joins NaN keys). Incremental ≡
+    recompute must hold on the hostile key too."""
+    sch = "itemid string, clock int, value double"
+    b1 = spark.createDataFrame(
+        [(None, 1, 2.0), (None, 2, 4.0), ("a", 1, 1.0)], sch)
+    b2 = spark.createDataFrame(
+        [(None, 3, 6.0), ("a", 2, 3.0), ("b", 1, 9.0)], sch)
+    state = merge_stats(sufficient_stats(b1, ["itemid"]),
+                        sufficient_stats(b2, ["itemid"]), ["itemid"])
+    assert state.filter(F.col("itemid").isNull()).count() == 1
+    got = {r["itemid"]: r for r in finalize_mean_std(state).collect()}
+    scratch = {r["itemid"]: r for r in finalize_mean_std(
+        sufficient_stats(b1.unionByName(b2), ["itemid"])).collect()}
+    assert set(got) == set(scratch)
+    for k in got:
+        assert got[k]["cnt"] == scratch[k]["cnt"]
+        assert math.isclose(got[k]["mean"], scratch[k]["mean"], rel_tol=1e-12)
+        assert math.isclose(got[k]["std"], scratch[k]["std"], rel_tol=1e-9)
+    # retraction of the first batch leaves exactly the second batch's stats
+    after = retract_stats(state, sufficient_stats(b1, ["itemid"]), ["itemid"])
+    left = {r["itemid"]: r for r in finalize_mean_std(after).collect()}
+    only2 = {r["itemid"]: r for r in finalize_mean_std(
+        sufficient_stats(b2, ["itemid"])).collect()}
+    assert {k: v["cnt"] for k, v in left.items() if v["cnt"] > 0} == \
+           {k: v["cnt"] for k, v in only2.items()}
+    assert math.isclose(left[None]["mean"], only2[None]["mean"], rel_tol=1e-12)
