@@ -170,6 +170,14 @@ def _dcast(vc: str) -> str:
     return f"CAST({_bt(vc)} AS DOUBLE)"
 
 
+def _token_range_elem_pred(lo: int, hi: int) -> str:
+    """Element-level predicate for ``token_range`` — the ONE spelling both
+    the row predicate (EXISTS) and the violations' first-offender FILTER
+    embed, so a bound-semantics change can never leave the two disagreeing
+    (a row flagged bad whose FILTER finds no element)."""
+    return f"(t IS NULL OR t < {lo} OR t >= {hi})"
+
+
 def _token_range_bad(p: dict) -> str:
     """Row-level predicate SQL for ``token_range`` — the ONE definition the
     aggregate and the violations scan both embed (operator-for-operator the
@@ -179,7 +187,7 @@ def _token_range_bad(p: dict) -> str:
     lo, hi = int(p.get("min_value", 0)), int(p["max_value"])
     return (f"(CASE WHEN {_bt(col)} IS NULL THEN FALSE ELSE "
             f"EXISTS({_bt(col)}, t -> "
-            f"(t IS NULL OR t < {lo} OR t >= {hi})) END)")
+            f"{_token_range_elem_pred(lo, hi)}) END)")
 
 
 def _moment_aggs(vc: str, tag: str) -> list[str]:
@@ -421,7 +429,7 @@ def run_fused(df: DataFrame, checks: Sequence, pcol: str):
             # TRY_ELEMENT_AT: ANSI-safe on the (unreachable) empty-filter
             # case — the violation cond guarantees a surviving element
             obs = (f"COALESCE(CAST(TRY_ELEMENT_AT(FILTER({_bt(col)}, "
-                   f"t -> (t IS NULL OR t < {lo} OR t >= {hi})), 1) "
+                   f"t -> {_token_range_elem_pred(lo, hi)}), 1) "
                    f"AS STRING), 'NULL')")
             viol_entries.append((c.check_id, bad, obs,
                                  _sq(f"token id in [{lo}, {hi})")))

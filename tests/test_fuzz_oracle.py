@@ -40,7 +40,7 @@ import math
 import duckdb
 import pytest
 
-from pyanomalydetector_spark.checks.core import run_checks, default_suite
+from pyanomalydetector_spark.checks.core import Check, run_checks, default_suite
 
 from test_fuzz_checks import SCHEMA, _random_rows
 
@@ -366,8 +366,6 @@ def test_null_metadata_contradiction_counts(spark, tmp_path):
 
 
 # --------------------------------------------------------------- token_range
-
-from pyanomalydetector_spark.checks.core import Check  # noqa: E402
 
 _TR_PRED = "t IS NULL OR t < 50 OR t >= 800"
 _TR_CHECK = Check("token_range_ids", "token_range",

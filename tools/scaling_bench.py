@@ -92,23 +92,28 @@ def run_suite(cores: int) -> tuple[float, int]:
 
 
 def main() -> None:
+    import subprocess
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--gen":
+        generate(N_ROWS)
+        return
+
+    # Regenerate a missing fixture (fixtures under data/ are disposable and
+    # --run used to crash when one had been cleaned away) — in a SUBPROCESS,
+    # so a child-mode (--run) timed sample never runs inside a JVM whose
+    # heap/GC/codegen state was shaped by the local[32] generation job;
+    # the "one clean JVM per cluster size" protocol holds even when the
+    # first sample after a fixture clean has to generate.
+    if not os.path.isdir(DATA):
+        print(f"generating {N_ROWS} rows -> {DATA}", file=sys.stderr)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--gen", str(N_ROWS)], check=True)
+
     if len(sys.argv) > 2 and sys.argv[1] == "--run":
-        # child mode: one clean JVM per cluster size. Regenerate a missing
-        # fixture here too (its own short-lived local[32] session, BEFORE
-        # run_suite's timed section) — fixtures under data/ are disposable
-        # and --run used to crash when one had been cleaned away.
-        if not os.path.isdir(DATA):
-            print(f"generating {N_ROWS} rows -> {DATA}", file=sys.stderr)
-            generate(N_ROWS)
+        # child mode: one clean JVM per cluster size
         t, n_rows = run_suite(int(sys.argv[2]))
         print(json.dumps({"sec": t, "n_rows": n_rows}))
         return
-
-    if not os.path.isdir(DATA):
-        print(f"generating {N_ROWS} rows -> {DATA}", file=sys.stderr)
-        generate(N_ROWS)
-
-    import subprocess
 
     def _probe(kind: str, cores: int) -> float:
         """Host-calibration kernels in a clean child JVM per reading. The
